@@ -1,0 +1,10 @@
+import os
+
+# Tests always run on a virtual 8-device CPU mesh so multi-chip sharding
+# logic is exercised without TPU hardware (SURVEY.md §2.13).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
