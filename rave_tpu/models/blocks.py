@@ -23,9 +23,115 @@ import jax.numpy as jnp
 import numpy as np
 
 from rave_tpu.nn.combinators import AlignBranches, Lambda, Residual, Sequential, StreamDelay
-from rave_tpu.nn.conv import Conv1d, ConvTranspose1d, stream_variable
+from rave_tpu.nn.conv import (
+    Conv1d,
+    ConvTranspose1d,
+    conv_delay,
+    get_padding,
+    stream_variable,
+    tconv_delay,
+)
 from rave_tpu.nn.gru import GRU
 from rave_tpu.ops.dsp import amp_to_impulse_response, fft_convolve, mod_sigmoid
+
+
+# --------------------------------------------------------------------------
+# pure delay algebra (mirrors the reference's cumulative_delay threading,
+# rave/blocks.py passim; safe to call from any context — no module creation)
+# --------------------------------------------------------------------------
+
+
+def dilated_unit_delay(kernel_size: int, dilation: int, mode: str) -> int:
+    return get_padding(kernel_size, 1, dilation, mode)[1]
+
+
+def residual_layer_delay(kernel_size: int, dilations, mode: str) -> int:
+    d = 0
+    for dil in dilations:
+        d = conv_delay(d, kernel_size, 1, dil, mode)
+    return d
+
+
+def residual_stack_delay(kernel_sizes, dilations_list, mode: str) -> int:
+    return max(
+        sum(residual_layer_delay(k, dils, mode) for dils in dilations_list)
+        for k in kernel_sizes
+    )
+
+
+def noise_generator_delay(in_delay: int, ratios, mode: str) -> int:
+    d = in_delay
+    for r in ratios:
+        d = conv_delay(d, 3, r, 1, mode)
+    return d * int(np.prod(ratios))
+
+
+def noise_generator_v2_delay(in_delay: int, ratios) -> int:
+    d = in_delay
+    for r in ratios:
+        d = conv_delay(d, 2 * r, r, 1, "causal")
+    return d * int(np.prod(ratios))
+
+
+def encoder_v2_delay(
+    in_delay: int, kernel_size: int, ratios, dilations, mode: str
+) -> int:
+    d = conv_delay(in_delay, 2 * kernel_size + 1, 1, 1, mode)
+    for r, dils in zip(ratios, normalize_dilations(dilations, ratios)):
+        for dil in dils:
+            d += dilated_unit_delay(kernel_size, dil, mode)
+        d = conv_delay(d, 2 * r, r, 1, mode)
+    return conv_delay(d, kernel_size, 1, 1, mode)
+
+
+def generator_v2_hidden_delay(kernel_size: int, ratios, dilations, mode: str) -> int:
+    dilations_list = normalize_dilations(dilations, ratios)[::-1]
+    d = conv_delay(0, kernel_size, 1, 1, mode)
+    for r, dils in zip(ratios[::-1], dilations_list):
+        d = tconv_delay(d, r, mode)
+        for dil in dils:
+            d += dilated_unit_delay(kernel_size, dil, mode)
+    return d
+
+
+def generator_v2_delay(
+    kernel_size: int, ratios, dilations, mode: str,
+    use_noise: bool, noise_ratios,
+) -> int:
+    d = generator_v2_hidden_delay(kernel_size, ratios, dilations, mode)
+    wave_d = conv_delay(d, kernel_size * 2 + 1, 1, 1, mode) - d
+    if use_noise:
+        noise_d = noise_generator_v2_delay(d, noise_ratios) - d
+        return d + max(wave_d, noise_d)
+    return d + wave_d
+
+
+def encoder_v1_delay(
+    in_delay: int, ratios, repeat_layers: int, mode: str
+) -> int:
+    d = conv_delay(in_delay, 7, 1, 1, mode)
+    for r in ratios:
+        d = conv_delay(d, 2 * r + 1, r, 1, mode)
+        for _ in range(repeat_layers - 1):
+            d = conv_delay(d, 3, 1, 1, mode)
+    return conv_delay(d, 5, 1, 1, mode)
+
+
+def generator_v1_delay(
+    ratios, res_kernel_sizes, res_dilations, loud_stride: int,
+    use_noise: bool, noise_ratios, mode: str,
+) -> int:
+    d = conv_delay(0, 7, 1, 1, mode)
+    for r in ratios:
+        d = tconv_delay(d, r, mode) if r > 1 else conv_delay(d, 3, 1, 1, mode)
+        d += residual_stack_delay(res_kernel_sizes, res_dilations, mode)
+    branch = [
+        conv_delay(d, 7, 1, 1, mode) - d,
+        conv_delay(d, 2 * loud_stride + 1, loud_stride, 1, mode) * loud_stride - d,
+    ]
+    if use_noise:
+        branch.append(noise_generator_delay(d, noise_ratios, mode) - d)
+    return d + max(branch)
 
 
 def leaky_relu(x):
@@ -184,14 +290,7 @@ class DilatedUnit(nn.Module):
 
     @property
     def inner_delay(self) -> int:
-        c = Conv1d(
-            in_features=self.dim,
-            features=self.dim,
-            kernel_size=self.kernel_size,
-            dilation=self.dilation,
-            mode=self.mode,
-        )
-        return c.delay
+        return dilated_unit_delay(self.kernel_size, self.dilation, self.mode)
 
     def setup(self):
         conv1 = Conv1d(
@@ -201,7 +300,7 @@ class DilatedUnit(nn.Module):
             dilation=self.dilation,
             mode=self.mode,
             weight_norm=self.weight_norm,
-            use_bias=True,
+            use_bias=False,
             stream_batch=self.stream_batch,
         )
         conv2 = Conv1d(
@@ -210,6 +309,7 @@ class DilatedUnit(nn.Module):
             kernel_size=1,
             mode=self.mode,
             weight_norm=self.weight_norm,
+            use_bias=False,
             in_delay=conv1.delay,
             stream_batch=self.stream_batch,
         )
@@ -285,9 +385,10 @@ class EncoderV2(nn.Module):
     recurrent_layers: int = 0
     train: bool = False
     adain_max_batch: int = 8
+    in_delay: int = 0
     stream_batch: int = 1
 
-    def setup(self):
+    def _build(self):
         dilations_list = normalize_dilations(self.dilations, self.ratios)
         layers = []
         conv0 = Conv1d(
@@ -296,6 +397,8 @@ class EncoderV2(nn.Module):
             kernel_size=2 * self.kernel_size + 1,
             mode=self.mode,
             weight_norm=self.weight_norm,
+            use_bias=False,
+            in_delay=self.in_delay,
             stream_batch=self.stream_batch,
         )
         layers.append(conv0)
@@ -322,6 +425,7 @@ class EncoderV2(nn.Module):
                 stride=r,
                 mode=self.mode,
                 weight_norm=self.weight_norm,
+                use_bias=False,
                 in_delay=delay,
                 stream_batch=self.stream_batch,
             )
@@ -336,6 +440,7 @@ class EncoderV2(nn.Module):
             kernel_size=self.kernel_size,
             mode=self.mode,
             weight_norm=self.weight_norm,
+            use_bias=False,
             in_delay=delay,
             stream_batch=self.stream_batch,
         )
@@ -348,12 +453,16 @@ class EncoderV2(nn.Module):
                     stream_batch=self.stream_batch,
                 )
             )
-        self.net = Sequential(layers=tuple(layers))
-        self.out_delay = final.delay
+        return tuple(layers), final.delay
+
+    def setup(self):
+        self.net = Sequential(layers=self._build()[0])
 
     @property
     def delay(self) -> int:
-        return self.out_delay
+        return encoder_v2_delay(
+            self.in_delay, self.kernel_size, self.ratios, self.dilations, self.mode
+        )
 
     def __call__(self, x):
         return self.net(x)
@@ -378,28 +487,36 @@ class NoiseGeneratorV2(nn.Module):
     noise_bands: int
     n_channels: int = 1
     activation: str = "leaky_relu"
+    in_delay: int = 0
     stream_batch: int = 1
 
-    @property
-    def delay(self) -> int:
-        return 0
-
-    def setup(self):
+    def _chans(self):
         chans = [self.in_size]
         chans += (len(self.ratios) - 1) * [self.hidden_size]
         chans.append(self.data_size * self.noise_bands * self.n_channels)
+        return chans
+
+    @property
+    def delay(self) -> int:
+        return noise_generator_v2_delay(self.in_delay, self.ratios)
+
+    def setup(self):
+        chans = self._chans()
         layers = []
+        d = self.in_delay
         for i, r in enumerate(self.ratios):
-            layers.append(
-                Conv1d(
-                    in_features=chans[i],
-                    features=chans[i + 1],
-                    kernel_size=2 * r,
-                    stride=r,
-                    mode="causal",
-                    stream_batch=self.stream_batch,
-                )
+            conv = Conv1d(
+                in_features=chans[i],
+                features=chans[i + 1],
+                kernel_size=2 * r,
+                stride=r,
+                mode="causal",
+                use_bias=False,
+                in_delay=d,
+                stream_batch=self.stream_batch,
             )
+            layers.append(conv)
+            d = conv.delay
             if i != len(self.ratios) - 1:
                 layers.append(make_activation(self.activation, chans[i + 1]))
         self.net = Sequential(layers=tuple(layers))
@@ -461,7 +578,7 @@ class GeneratorV2(nn.Module):
     def out_data_size(self) -> int:
         return (self.data_size or 1) * self.n_channels
 
-    def setup(self):
+    def _build(self):
         dilations_list = normalize_dilations(self.dilations, self.ratios)[::-1]
         ratios = self.ratios[::-1]
         if self.keep_dim:
@@ -485,6 +602,7 @@ class GeneratorV2(nn.Module):
             kernel_size=self.kernel_size,
             mode=self.mode,
             weight_norm=self.weight_norm,
+            use_bias=False,
             stream_batch=self.stream_batch,
         )
         layers.append(conv0)
@@ -499,6 +617,7 @@ class GeneratorV2(nn.Module):
                 ratio=r,
                 mode=self.mode,
                 weight_norm=self.weight_norm,
+                use_bias=False,
                 in_delay=delay,
                 stream_batch=self.stream_batch,
             )
@@ -518,9 +637,6 @@ class GeneratorV2(nn.Module):
                 delay = delay + res.inner_delay
 
         layers.append(make_activation(self.activation, ch))
-        self.net = Sequential(layers=tuple(layers))
-        self.hidden_delay = delay
-        self.hidden_ch = ch
 
         wave_out = (
             self.out_data_size * 2 if self.amplitude_modulation else self.out_data_size
@@ -531,9 +647,11 @@ class GeneratorV2(nn.Module):
             kernel_size=self.kernel_size * 2 + 1,
             mode=self.mode,
             weight_norm=self.weight_norm,
+            use_bias=False,
             in_delay=delay,
             stream_batch=self.stream_batch,
         )
+        synth = None
         if self.use_noise:
             noise = NoiseGeneratorV2(
                 in_size=ch,
@@ -543,25 +661,38 @@ class GeneratorV2(nn.Module):
                 noise_bands=self.noise_bands,
                 n_channels=self.n_channels,
                 activation=self.activation,
+                in_delay=delay,
                 stream_batch=self.stream_batch,
             )
-            # Align waveform and noise branches in streaming mode: the
-            # (causal) noise branch leads the centered waveform conv.
-            wave_d = waveform.delay - delay  # own contributions
-            self.synth = AlignBranches(
+            # Align waveform and noise branches in streaming mode (own
+            # contributions relative to the shared hidden stream).
+            wave_d = waveform.delay - delay
+            noise_d = noise.delay - delay
+            synth = AlignBranches(
                 branches=(waveform, noise),
-                delays=(wave_d, 0),
+                delays=(wave_d, noise_d),
                 features=(wave_out, self.out_data_size),
                 stream_batch=self.stream_batch,
             )
-            self.out_delay = delay + max(wave_d, 0)
+            out_delay = delay + max(wave_d, noise_d)
+        else:
+            out_delay = waveform.delay
+        return tuple(layers), waveform, synth, out_delay
+
+    def setup(self):
+        layers, waveform, synth, _ = self._build()
+        self.net = Sequential(layers=layers)
+        if synth is not None:
+            self.synth = synth
         else:
             self.waveform = waveform
-            self.out_delay = waveform.delay
 
     @property
     def delay(self) -> int:
-        return self.out_delay
+        return generator_v2_delay(
+            self.kernel_size, self.ratios, self.dilations, self.mode,
+            self.use_noise, self.noise_ratios,
+        )
 
     def _mix(self, wave, noise):
         if self.amplitude_modulation:
@@ -584,6 +715,477 @@ class GeneratorV2(nn.Module):
         else:
             wave, noise = self.waveform.step(h), 0.0
         return self._mix(wave, noise)
+
+
+# --------------------------------------------------------------------------
+# v1 family
+# --------------------------------------------------------------------------
+
+
+class ResidualLayer(nn.Module):
+    """Residual chain of (act, dilated conv) pairs (reference 48-80)."""
+
+    dim: int
+    kernel_size: int
+    dilations: Tuple[int, ...]
+    mode: str = "centered"
+    weight_norm: bool = True
+    activation: str = "leaky_relu"
+    stream_batch: int = 1
+
+    @property
+    def inner_delay(self) -> int:
+        return residual_layer_delay(self.kernel_size, self.dilations, self.mode)
+
+    def setup(self):
+        layers = []
+        d = 0
+        for dil in self.dilations:
+            layers.append(make_activation(self.activation, self.dim))
+            conv = Conv1d(
+                in_features=self.dim,
+                features=self.dim,
+                kernel_size=self.kernel_size,
+                dilation=dil,
+                mode=self.mode,
+                weight_norm=self.weight_norm,
+                use_bias=False,
+                in_delay=d,
+                stream_batch=self.stream_batch,
+            )
+            layers.append(conv)
+            d = conv.delay
+        self.net = Residual(
+            inner=Sequential(layers=tuple(layers)),
+            inner_delay=d,
+            features=self.dim,
+            stream_batch=self.stream_batch,
+        )
+
+    def __call__(self, x):
+        return self.net(x)
+
+    def step(self, x):
+        return self.net.step(x)
+
+
+class ResidualStack(nn.Module):
+    """Sum of per-kernel-size residual blocks, delay-aligned
+    (reference 115-164)."""
+
+    dim: int
+    kernel_sizes: Tuple[int, ...]
+    dilations_list: Tuple[Tuple[int, ...], ...]
+    mode: str = "centered"
+    weight_norm: bool = True
+    activation: str = "leaky_relu"
+    stream_batch: int = 1
+
+    def _block(self, k: int) -> Tuple[Any, int]:
+        layers, d = [], 0
+        for dils in self.dilations_list:
+            rl = ResidualLayer(
+                dim=self.dim,
+                kernel_size=k,
+                dilations=tuple(dils),
+                mode=self.mode,
+                weight_norm=self.weight_norm,
+                activation=self.activation,
+                stream_batch=self.stream_batch,
+            )
+            layers.append(rl)
+            d += rl.inner_delay
+        return Sequential(layers=tuple(layers)), d
+
+    @property
+    def inner_delay(self) -> int:
+        return max(self._block_delays())
+
+    def _block_delays(self):
+        return [
+            sum(
+                residual_layer_delay(k, tuple(dils), self.mode)
+                for dils in self.dilations_list
+            )
+            for k in self.kernel_sizes
+        ]
+
+    def setup(self):
+        blocks_, delays = [], []
+        for k in self.kernel_sizes:
+            b, d = self._block(k)
+            blocks_.append(b)
+            delays.append(d)
+        self.aligned = AlignBranches(
+            branches=tuple(blocks_),
+            delays=tuple(delays),
+            features=tuple(self.dim for _ in blocks_),
+            stream_batch=self.stream_batch,
+        )
+
+    def __call__(self, x):
+        return sum(self.aligned(x))
+
+    def step(self, x):
+        return sum(self.aligned.step(x))
+
+
+class UpsampleLayer(nn.Module):
+    """act + (ConvTranspose(2r, r) if r>1 else Conv(3)) (reference 167-195)."""
+
+    in_dim: int
+    out_dim: int
+    ratio: int
+    mode: str = "centered"
+    weight_norm: bool = True
+    activation: str = "leaky_relu"
+    in_delay: int = 0
+    stream_batch: int = 1
+
+    @property
+    def delay(self) -> int:
+        if self.ratio > 1:
+            return tconv_delay(self.in_delay, self.ratio, self.mode)
+        return conv_delay(self.in_delay, 3, 1, 1, self.mode)
+
+    def _conv(self):
+        if self.ratio > 1:
+            return ConvTranspose1d(
+                in_features=self.in_dim,
+                features=self.out_dim,
+                ratio=self.ratio,
+                mode=self.mode,
+                weight_norm=self.weight_norm,
+                use_bias=False,
+                in_delay=self.in_delay,
+                stream_batch=self.stream_batch,
+            )
+        return Conv1d(
+            in_features=self.in_dim,
+            features=self.out_dim,
+            kernel_size=3,
+            mode=self.mode,
+            weight_norm=self.weight_norm,
+            use_bias=False,
+            in_delay=self.in_delay,
+            stream_batch=self.stream_batch,
+        )
+
+    def setup(self):
+        self.net = Sequential(
+            layers=(make_activation(self.activation, self.in_dim), self._conv())
+        )
+
+    def __call__(self, x):
+        return self.net(x)
+
+    def step(self, x):
+        return self.net.step(x)
+
+
+class NoiseGenerator(nn.Module):
+    """v1 filtered-noise synth: centered strided convs -> band amplitudes ->
+    IR -> FFT-convolved noise (reference 198-240)."""
+
+    in_size: int
+    data_size: int
+    ratios: Tuple[int, ...] = (4, 4, 4)
+    noise_bands: int = 5
+    mode: str = "centered"
+    in_delay: int = 0
+    stream_batch: int = 1
+
+    @property
+    def delay(self) -> int:
+        return noise_generator_delay(self.in_delay, self.ratios, self.mode)
+
+    def setup(self):
+        chans = [self.in_size] * len(self.ratios) + [self.data_size * self.noise_bands]
+        layers = []
+        d = self.in_delay
+        for i, r in enumerate(self.ratios):
+            conv = Conv1d(
+                in_features=chans[i],
+                features=chans[i + 1],
+                kernel_size=3,
+                stride=r,
+                mode=self.mode,
+                use_bias=False,
+                in_delay=d,
+                stream_batch=self.stream_batch,
+            )
+            layers.append(conv)
+            d = conv.delay
+            if i != len(self.ratios) - 1:
+                layers.append(Lambda(leaky_relu))
+        self.net = Sequential(layers=tuple(layers))
+        self.target_size = int(np.prod(self.ratios))
+
+    def _synth(self, amp):
+        B, F, _ = amp.shape
+        amp = mod_sigmoid(amp - 5.0)
+        amp = amp.reshape(B, F, self.data_size, self.noise_bands)
+        ir = amp_to_impulse_response(amp, self.target_size)
+        noise = (
+            jax.random.uniform(self.make_rng("noise"), ir.shape, ir.dtype) * 2 - 1
+        )
+        out = fft_convolve(noise, ir)
+        return out.swapaxes(2, 3).reshape(B, F * self.target_size, self.data_size)
+
+    def __call__(self, x):
+        return self._synth(self.net(x))
+
+    def step(self, x):
+        return self._synth(self.net.step(x))
+
+
+class EncoderV1(nn.Module):
+    """Strided conv encoder with BatchNorm (reference 424-503)."""
+
+    data_size: int
+    capacity: int
+    latent_size: int
+    ratios: Tuple[int, ...]
+    n_out: int
+    sample_norm: bool = False
+    repeat_layers: int = 1
+    n_channels: int = 1
+    recurrent_layers: int = 0
+    mode: str = "centered"
+    train: bool = False
+    in_delay: int = 0
+    stream_batch: int = 1
+
+    def _build(self):
+        layers = []
+        conv0 = Conv1d(
+            in_features=self.data_size * self.n_channels,
+            features=self.capacity,
+            kernel_size=7,
+            mode=self.mode,
+            use_bias=False,
+            in_delay=self.in_delay,
+            stream_batch=self.stream_batch,
+        )
+        layers.append(conv0)
+        d = conv0.delay
+        dim = self.capacity
+        for r in self.ratios:
+            out_dim = 2 * dim
+            layers.append(
+                SampleNorm() if self.sample_norm
+                else BatchNorm1d(features=dim, train=self.train)
+            )
+            layers.append(Lambda(leaky_relu))
+            conv = Conv1d(
+                in_features=dim,
+                features=out_dim,
+                kernel_size=2 * r + 1,
+                stride=r,
+                mode=self.mode,
+                use_bias=False,
+                in_delay=d,
+                stream_batch=self.stream_batch,
+            )
+            layers.append(conv)
+            d = conv.delay
+            for _ in range(self.repeat_layers - 1):
+                layers.append(
+                    SampleNorm() if self.sample_norm
+                    else BatchNorm1d(features=out_dim, train=self.train)
+                )
+                layers.append(Lambda(leaky_relu))
+                conv = Conv1d(
+                    in_features=out_dim,
+                    features=out_dim,
+                    kernel_size=3,
+                    mode=self.mode,
+                    use_bias=False,
+                    in_delay=d,
+                    stream_batch=self.stream_batch,
+                )
+                layers.append(conv)
+                d = conv.delay
+            dim = out_dim
+        layers.append(Lambda(leaky_relu))
+        if self.recurrent_layers:
+            layers.append(
+                GRU(
+                    latent_size=dim,
+                    num_layers=self.recurrent_layers,
+                    stream_batch=self.stream_batch,
+                )
+            )
+            layers.append(Lambda(leaky_relu))
+        final = Conv1d(
+            in_features=dim,
+            features=self.latent_size * self.n_out,
+            kernel_size=5,
+            groups=self.n_out,
+            mode=self.mode,
+            use_bias=False,
+            in_delay=d,
+            stream_batch=self.stream_batch,
+        )
+        layers.append(final)
+        return tuple(layers), final.delay
+
+    def setup(self):
+        self.net = Sequential(layers=self._build()[0])
+
+    @property
+    def delay(self) -> int:
+        return encoder_v1_delay(
+            self.in_delay, self.ratios, self.repeat_layers, self.mode
+        )
+
+    def __call__(self, x):
+        return self.net(x)
+
+    def step(self, x):
+        return self.net.step(x)
+
+
+class GeneratorV1(nn.Module):
+    """Three-branch v1 synth: wave * mod_sigmoid(loudness) + noise
+    (reference 322-421)."""
+
+    latent_size: int
+    capacity: int
+    data_size: int
+    ratios: Tuple[int, ...]
+    loud_stride: int = 1
+    use_noise: bool = True
+    noise_ratios: Tuple[int, ...] = (4, 4, 4)
+    noise_bands: int = 5
+    res_kernel_sizes: Tuple[int, ...] = (3,)
+    res_dilations: Tuple[Tuple[int, ...], ...] = ((1, 1), (3, 1), (5, 1))
+    n_channels: int = 1
+    recurrent_layers: int = 0
+    mode: str = "centered"
+    weight_norm: bool = True
+    activation: str = "leaky_relu"
+    stream_batch: int = 1
+
+    def _build(self):
+        layers = []
+        ch = 2 ** len(self.ratios) * self.capacity
+        conv0 = Conv1d(
+            in_features=self.latent_size,
+            features=ch,
+            kernel_size=7,
+            mode=self.mode,
+            weight_norm=self.weight_norm,
+            use_bias=False,
+            stream_batch=self.stream_batch,
+        )
+        layers.append(conv0)
+        d = conv0.delay
+        if self.recurrent_layers:
+            layers.append(
+                GRU(latent_size=ch, num_layers=self.recurrent_layers,
+                    stream_batch=self.stream_batch)
+            )
+        for r in self.ratios:
+            out_ch = ch // 2
+            up = UpsampleLayer(
+                in_dim=ch,
+                out_dim=out_ch,
+                ratio=r,
+                mode=self.mode,
+                weight_norm=self.weight_norm,
+                activation=self.activation,
+                in_delay=d,
+                stream_batch=self.stream_batch,
+            )
+            layers.append(up)
+            d = up.delay
+            stack = ResidualStack(
+                dim=out_ch,
+                kernel_sizes=self.res_kernel_sizes,
+                dilations_list=self.res_dilations,
+                mode=self.mode,
+                weight_norm=self.weight_norm,
+                activation=self.activation,
+                stream_batch=self.stream_batch,
+            )
+            layers.append(stack)
+            d = d + stack.inner_delay
+            ch = out_ch
+        net = Sequential(layers=tuple(layers))
+
+        wave_gen = Conv1d(
+            in_features=ch,
+            features=self.data_size * self.n_channels,
+            kernel_size=7,
+            mode=self.mode,
+            weight_norm=self.weight_norm,
+            use_bias=False,
+            in_delay=d,
+            stream_batch=self.stream_batch,
+        )
+        loud_gen = Conv1d(
+            in_features=ch,
+            features=1,
+            kernel_size=2 * self.loud_stride + 1,
+            stride=self.loud_stride,
+            mode=self.mode,
+            weight_norm=self.weight_norm,
+            use_bias=False,
+            in_delay=d,
+            stream_batch=self.stream_batch,
+        )
+        branches = [wave_gen, loud_gen]
+        delays = [wave_gen.delay - d, loud_gen.delay * self.loud_stride - d]
+        feats = [self.data_size * self.n_channels, 1]
+        if self.use_noise:
+            noise_gen = NoiseGenerator(
+                in_size=ch,
+                data_size=self.data_size * self.n_channels,
+                ratios=self.noise_ratios,
+                noise_bands=self.noise_bands,
+                mode=self.mode,
+                in_delay=d,
+                stream_batch=self.stream_batch,
+            )
+            branches.append(noise_gen)
+            delays.append(noise_gen.delay - d)
+            feats.append(self.data_size * self.n_channels)
+        synth = AlignBranches(
+            branches=tuple(branches),
+            delays=tuple(delays),
+            features=tuple(feats),
+            stream_batch=self.stream_batch,
+        )
+        return net, synth, d + max(delays)
+
+    def setup(self):
+        self.net, self.synth, _ = self._build()
+
+    @property
+    def delay(self) -> int:
+        return generator_v1_delay(
+            self.ratios, self.res_kernel_sizes, self.res_dilations,
+            self.loud_stride, self.use_noise, self.noise_ratios, self.mode,
+        )
+
+    def _mix(self, outs, warmed_up: bool):
+        if self.use_noise:
+            wave, loud, noise = outs
+        else:
+            (wave, loud), noise = outs, 0.0
+        if self.loud_stride != 1:
+            loud = jnp.repeat(loud, self.loud_stride, axis=1)
+        y = jnp.tanh(wave) * mod_sigmoid(loud)
+        if warmed_up and self.use_noise:
+            y = y + noise
+        return y
+
+    def __call__(self, z, warmed_up: bool = True):
+        return self._mix(self.synth(self.net(z)), warmed_up)
+
+    def step(self, z):
+        return self._mix(self.synth.step(self.net.step(z)), True)
 
 
 # --------------------------------------------------------------------------
@@ -679,6 +1281,71 @@ class WassersteinEncoder(nn.Module):
             )
             z = jnp.concatenate([z, noise], axis=-1)
         return z, mmd
+
+
+class DiscreteEncoder(nn.Module):
+    """RVQ latent family with a schedule-controlled `enabled` gate and
+    optional noise augmentation.
+
+    Reference: rave/blocks.py:794-830. The gate is a *static* argument so
+    each training phase compiles to a dedicated XLA program (no dead RVQ
+    compute pre-warmup).
+    """
+
+    encoder: Any
+    num_quantizers: int
+    codebook_size: int
+    latent_size: int
+    noise_augmentation: int = 0
+
+    @property
+    def delay(self) -> int:
+        return self.encoder.delay
+
+    @property
+    def num_out(self) -> int:
+        return 1
+
+    def setup(self):
+        from rave_tpu.models.quantization import ResidualVectorQuantization
+
+        self.rvq = ResidualVectorQuantization(
+            num_quantizers=self.num_quantizers,
+            dim=self.latent_size,
+            codebook_size=self.codebook_size,
+        )
+
+    def __call__(self, x, warmed_up: bool = False):
+        z = self.encoder(x)
+        if warmed_up:
+            z = jax.lax.stop_gradient(z)
+        return z
+
+    def step(self, x):
+        return self.encoder.step(x)
+
+    def reparametrize(
+        self, z, rng=None, enabled: bool = True, train: bool = False
+    ):
+        if rng is None:
+            rng = self.make_rng("noise")
+        rng, r2 = jax.random.split(rng)
+        if enabled:
+            z, diff, _ = self.rvq(z, train=train, rng=rng)
+        else:
+            diff = jnp.asarray(0.0, jnp.float32)
+        if self.noise_augmentation:
+            noise = jax.random.normal(
+                r2, (z.shape[0], z.shape[1], self.noise_augmentation), z.dtype
+            )
+            z = jnp.concatenate([z, noise], axis=-1)
+        return z, diff
+
+    def encode_indices(self, z):
+        return self.rvq.encode(z)
+
+    def decode_indices(self, idx):
+        return self.rvq.decode(idx)
 
 
 class SphericalEncoder(nn.Module):

@@ -1,0 +1,163 @@
+"""Descript-audio-codec style discriminator (MPD + MSD + MRD).
+
+Capability-parity re-design of the reference port
+(rave/descript_discriminator.py): period-folded 2D critics, grouped 1D
+critics with kaiser-filter downsampling, and multi-band STFT critics.
+Channels-last throughout; LeakyReLU(0.1) between convs.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rave_tpu.models.discriminators import WNConv
+from rave_tpu.ops.pqmf import kaiser_filter
+from rave_tpu.ops.stft import stft
+
+BANDS = ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0))
+
+
+class MPD(nn.Module):
+    """Period-folded 2D critic (reference descript_discriminator.py:30-66)."""
+
+    period: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x [B, T, C] -> [B, T/p, p, C]
+        t = x.shape[1]
+        pad = (self.period - t % self.period) % self.period
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+        x = x.reshape(x.shape[0], -1, self.period, x.shape[-1])
+        fmap = []
+        chans = [32, 128, 512, 1024, 1024]
+        strides = [(3, 1)] * 4 + [(1, 1)]
+        for i, (c, s) in enumerate(zip(chans, strides)):
+            x = WNConv(
+                features=c, kernel_size=(5, 1), strides=s, padding=(2, 0),
+                name=f"conv_{i}",
+            )(x)
+            fmap.append(x)
+            x = jax.nn.leaky_relu(x, 0.1)
+        y = WNConv(
+            features=1, kernel_size=(3, 1), strides=(1, 1), padding=(1, 0),
+            name="post",
+        )(x)
+        fmap.append(y)
+        return fmap
+
+
+class MSD(nn.Module):
+    """Grouped 1D critic with kaiser anti-aliased downsampling
+    (reference descript_discriminator.py:69-112)."""
+
+    scale: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        if self.scale != 1:
+            filt = kaiser_filter(np.pi / self.scale, 140)
+            if not len(filt) % 2:
+                filt = np.pad(filt, (1, 0))
+            w = jnp.asarray(filt, x.dtype)[:, None, None]  # [K, 1, 1]
+            C = x.shape[-1]
+            w = jnp.tile(w, (1, 1, C))
+            x = jax.lax.conv_general_dilated(
+                x, w, (self.scale,), ((len(filt) // 2, len(filt) // 2),),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=C,
+            )
+        fmap = []
+        spec = [
+            (16, 15, 1, 1, 7),
+            (64, 41, 4, 4, 20),
+            (256, 41, 4, 16, 20),
+            (1024, 41, 4, 64, 20),
+            (1024, 41, 4, 256, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        for i, (c, k, s, g, p) in enumerate(spec):
+            x = WNConv(
+                features=c, kernel_size=(k,), strides=(s,), padding=(p,),
+                groups=g, name=f"conv_{i}",
+            )(x)
+            fmap.append(x)
+            x = jax.nn.leaky_relu(x, 0.1)
+        y = WNConv(
+            features=1, kernel_size=(3,), strides=(1,), padding=(1,), name="post"
+        )(x)
+        fmap.append(y)
+        return fmap
+
+
+class MRD(nn.Module):
+    """Multi-band STFT 2D critic (reference descript_discriminator.py:118-184)."""
+
+    window_length: int
+    hop_factor: float = 0.25
+    bands: Tuple = BANDS
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape
+        flat = x.swapaxes(1, 2).reshape(B * C, T)
+        s = stft(flat, self.window_length, int(self.hop_factor * self.window_length))
+        # [B*C, frames, bins] -> [B, frames, bins, 2C]
+        s = s.reshape(B, C, s.shape[1], s.shape[2])
+        img = jnp.concatenate([s.real, s.imag], axis=1).transpose(0, 2, 3, 1)
+        n_fft = self.window_length // 2 + 1
+        bands = [(int(a * n_fft), int(b * n_fft)) for a, b in self.bands]
+
+        fmap, outs = [], []
+        for bi, (lo, hi) in enumerate(bands):
+            band = img[:, :, lo:hi, :]
+            spec = [
+                ((3, 9), (1, 1), (1, 4)),
+                ((3, 9), (1, 2), (1, 4)),
+                ((3, 9), (1, 2), (1, 4)),
+                ((3, 9), (1, 2), (1, 4)),
+                ((3, 3), (1, 1), (1, 1)),
+            ]
+            for li, (k, st, p) in enumerate(spec):
+                band = WNConv(
+                    features=32, kernel_size=k, strides=st, padding=p,
+                    name=f"band{bi}_conv{li}",
+                )(band)
+                fmap.append(band)
+                band = jax.nn.leaky_relu(band, 0.1)
+            outs.append(band)
+        y = jnp.concatenate(outs, axis=2)
+        y = WNConv(
+            features=1, kernel_size=(3, 3), strides=(1, 1), padding=(1, 1),
+            name="post",
+        )(y)
+        fmap.append(y)
+        return fmap
+
+
+class DescriptDiscriminator(nn.Module):
+    """MPDs + MSDs + MRDs with DC-removal + 0.8 peak-normalize preprocess
+    (reference descript_discriminator.py:187-217)."""
+
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    rates: Tuple[int, ...] = ()
+    fft_sizes: Tuple[int, ...] = (2048, 1024, 512)
+    bands: Tuple = BANDS
+
+    @nn.compact
+    def __call__(self, x):
+        x = x - jnp.mean(x, axis=1, keepdims=True)
+        x = 0.8 * x / (jnp.max(jnp.abs(x), axis=1, keepdims=True) + 1e-9)
+        feats = []
+        for p in self.periods:
+            feats.append(MPD(period=p, name=f"mpd_{p}")(x))
+        for r in self.rates:
+            feats.append(MSD(scale=r, name=f"msd_{r}")(x))
+        for f in self.fft_sizes:
+            feats.append(MRD(window_length=f, bands=self.bands, name=f"mrd_{f}")(x))
+        return feats

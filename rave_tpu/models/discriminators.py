@@ -1,0 +1,282 @@
+"""Adversarial critics: multi-scale, multi-period, spectral, and their
+combination. Training-only (offline path), channels-last.
+
+Reference: rave/discriminator.py (ConvNet 77-119, MultiScale 122-136,
+MultiScaleSpectral(1d) 139-171, MultiPeriod 174-195, Combine 198-209,
+EncodecConvNet 54-74). Each sub-network returns its per-layer feature maps;
+the last feature is the score (rave/model.py:360-379).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rave_tpu.nn.conv import get_padding
+from rave_tpu.ops.stft import stft
+
+
+class WNConv(nn.Module):
+    """Plain (non-streaming) nD conv with optional weight_norm, symmetric
+    torch-style padding. kernel/stride/dilation/padding are tuples."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Tuple[int, ...]
+    dilation: Tuple[int, ...] = ()
+    weight_norm: bool = True
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        nd = len(self.kernel_size)
+        dil = self.dilation or (1,) * nd
+        in_feat = x.shape[-1]
+        kshape = self.kernel_size + (in_feat // self.groups, self.features)
+        init = nn.initializers.lecun_normal()
+        if self.weight_norm:
+            v = self.param("v", init, kshape)
+            g = self.param(
+                "g",
+                lambda rng, s: jnp.sqrt(
+                    jnp.sum(v**2, axis=tuple(range(nd + 1)), keepdims=True) + 1e-12
+                ),
+                (1,) * (nd + 1) + (self.features,),
+            )
+            w = v * g / jnp.sqrt(
+                jnp.sum(v**2, axis=tuple(range(nd + 1)), keepdims=True) + 1e-12
+            )
+        else:
+            w = self.param("w", init, kshape)
+        b = self.param("b", nn.initializers.zeros, (self.features,))
+        dn = ("NWC", "WIO", "NWC") if nd == 1 else ("NHWC", "HWIO", "NHWC")
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=self.strides,
+            padding=tuple((p, p) for p in self.padding),
+            rhs_dilation=dil,
+            dimension_numbers=dn,
+            feature_group_count=self.groups,
+        )
+        return y + b.astype(y.dtype)
+
+
+class ConvNet(nn.Module):
+    """Feature-extracting conv stack; returns every conv's output.
+
+    Reference: rave/discriminator.py:77-119. `kernel_size` int -> 1D over
+    [B, T, C]; tuple -> 2D over [B, H, W, C].
+    """
+
+    out_size: int
+    capacity: int
+    n_layers: int
+    kernel_size: Any
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        channels = [self.capacity * 2**i for i in range(self.n_layers)]
+        for i in range(self.n_layers):
+            if isinstance(self.kernel_size, int):
+                pad = (get_padding(self.kernel_size, self.stride, mode="centered")[0],)
+                y = WNConv(
+                    features=channels[i],
+                    kernel_size=(self.kernel_size,),
+                    strides=(self.stride,),
+                    padding=pad,
+                )(x)
+            else:
+                pad = (
+                    get_padding(self.kernel_size[0], self.stride, mode="centered")[0],
+                    0,
+                )
+                y = WNConv(
+                    features=channels[i],
+                    kernel_size=tuple(self.kernel_size),
+                    strides=(self.stride, 1),
+                    padding=pad,
+                )(x)
+            feats.append(y)
+            x = jax.nn.leaky_relu(y, 0.2)
+        nd = 1 if isinstance(self.kernel_size, int) else 2
+        y = WNConv(
+            features=self.out_size,
+            kernel_size=(1,) * nd,
+            strides=(1,) * nd,
+            padding=(0,) * nd,
+            weight_norm=False,
+        )(x)
+        feats.append(y)
+        return feats
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """Average-pooled pyramid of 1D ConvNets (reference 122-136)."""
+
+    n_discriminators: int
+    capacity: int = 64
+    n_layers: int = 4
+    kernel_size: int = 15
+    stride: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for i in range(self.n_discriminators):
+            feats.append(
+                ConvNet(
+                    out_size=1,
+                    capacity=self.capacity,
+                    n_layers=self.n_layers,
+                    kernel_size=self.kernel_size,
+                    stride=self.stride,
+                    name=f"scale_{i}",
+                )(x)
+            )
+            x = nn.avg_pool(x, (2,), strides=(2,), padding="VALID")
+        return feats
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """Fold-by-period 2D critics (reference 174-195)."""
+
+    periods: Tuple[int, ...]
+    capacity: int = 64
+    n_layers: int = 4
+    kernel_size: Tuple[int, int] = (5, 1)
+    stride: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for i, p in enumerate(self.periods):
+            pad = (p - x.shape[1] % p) % p
+            xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            xp = xp.reshape(x.shape[0], -1, p, x.shape[-1])  # [B, T/p, p, C]
+            feats.append(
+                ConvNet(
+                    out_size=1,
+                    capacity=self.capacity,
+                    n_layers=self.n_layers,
+                    kernel_size=self.kernel_size,
+                    stride=self.stride,
+                    name=f"period_{p}_{i}",
+                )(xp)
+            )
+        return feats
+
+
+class MultiScaleSpectralDiscriminator1d(nn.Module):
+    """Complex-STFT 1D critics: real/imag stacked on channel axis
+    (reference 156-171)."""
+
+    scales: Tuple[int, ...]
+    capacity: int = 64
+    n_layers: int = 4
+    kernel_size: int = 5
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        flat = x.reshape(-1, x.shape[1])  # [B*C, T]
+        for i, scale in enumerate(self.scales):
+            s = stft(flat, scale, scale // 4, center=False, normalized=True)
+            # [B*C, F, bins] -> [B, F, 2*bins] channels-last (real ++ imag)
+            spec = jnp.concatenate([s.real, s.imag], axis=-1)
+            spec = spec.reshape(x.shape[0], -1, spec.shape[-1])
+            feats.append(
+                ConvNet(
+                    out_size=1,
+                    capacity=self.capacity,
+                    n_layers=self.n_layers,
+                    kernel_size=self.kernel_size,
+                    stride=self.stride,
+                    name=f"spec_{scale}_{i}",
+                )(spec)
+            )
+        return feats
+
+
+class EncodecConvNet(nn.Module):
+    """2D spectral critic over [B, F, T, 2*C] (reference 54-74)."""
+
+    capacity: int
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        specs = [
+            # (kernel, stride, dilation)
+            ((9, 3), (1, 1), (1, 1)),
+            ((9, 3), (2, 1), (1, 1)),
+            ((9, 3), (2, 1), (1, 2)),
+            ((9, 3), (2, 1), (1, 4)),
+            ((3, 3), (1, 1), (1, 1)),
+        ]
+        for i, (k, s, d) in enumerate(specs):
+            pad = ((k[0] - 1) * d[0] // 2, (k[1] - 1) * d[1] // 2)
+            x = WNConv(
+                features=self.capacity,
+                kernel_size=k,
+                strides=s,
+                padding=pad,
+                dilation=d,
+                name=f"conv_{i}",
+            )(x)
+            feats.append(x)
+            x = jax.nn.leaky_relu(x, 0.2)
+        y = WNConv(
+            features=1,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding=(1, 1),
+            name="conv_out",
+        )(x)
+        feats.append(y)
+        return feats
+
+
+class MultiScaleSpectralDiscriminator(nn.Module):
+    """Complex-STFT 2D critics (reference 139-153) using EncodecConvNet."""
+
+    scales: Tuple[int, ...]
+    capacity: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        B, T, C = x.shape
+        flat = x.swapaxes(1, 2).reshape(-1, T)  # [B*C, T]
+        for i, scale in enumerate(self.scales):
+            s = stft(flat, scale, scale // 4, center=False, normalized=True)
+            s = s.reshape(B, C, s.shape[1], s.shape[2])  # [B, C, frames, bins]
+            img = jnp.concatenate([s.real, s.imag], axis=1)  # [B, 2C, F, bins]
+            img = img.transpose(0, 3, 2, 1)  # [B, bins, frames, 2C]
+            feats.append(
+                EncodecConvNet(capacity=self.capacity, name=f"enc_{scale}_{i}")(img)
+            )
+        return feats
+
+
+class CombineDiscriminators(nn.Module):
+    """Concatenates the feature lists of several discriminators
+    (reference 198-209)."""
+
+    discriminators: Tuple[Any, ...]
+
+    def setup(self):
+        self.subs = self.discriminators
+
+    def __call__(self, x):
+        feats = []
+        for d in self.subs:
+            feats.extend(d(x))
+        return feats

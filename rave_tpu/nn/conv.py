@@ -51,19 +51,41 @@ def get_padding(
     raise ValueError(f"padding mode must be centered|causal, got {mode}")
 
 
+def conv_delay(
+    in_delay: int, kernel: int, stride: int = 1, dilation: int = 1,
+    mode: str = "centered",
+) -> int:
+    """Pure delay algebra for Conv1d (no module construction — safe to call
+    from any context, including flax-wrapped methods)."""
+    r = get_padding(kernel, stride, dilation, mode)[1]
+    e = (-(in_delay + r)) % stride
+    return (in_delay + r + e) // stride
+
+
+def tconv_delay(in_delay: int, ratio: int, mode: str = "centered") -> int:
+    """Pure delay algebra for ConvTranspose1d."""
+    return in_delay * ratio + (ratio // 2 if mode == "centered" else 0)
+
+
 def _norm_weight(v: jax.Array, g: jax.Array) -> jax.Array:
     """weight_norm reparameterization: w = g * v / ||v|| (per out-channel)."""
     norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True) + 1e-12)
     return v * (g / norm)
 
 
-def stream_variable(mod: nn.Module, name: str, shape):
-    """Declare a streaming-state variable only when the 'cache' collection is
-    live (init, or apply with cache provided/mutable). Offline training never
-    materializes stream state, so checkpoints stay cache-free."""
-    if mod.is_mutable_collection("cache") or mod.has_variable("cache", name):
-        return mod.variable("cache", name, jnp.zeros, shape)
+def guarded_variable(mod: nn.Module, col: str, name: str, init_fn, *args):
+    """Declare a variable only when its collection is live (init, or apply
+    with the collection provided/mutable); lets param-only applies skip
+    auxiliary state entirely."""
+    if mod.is_mutable_collection(col) or mod.has_variable(col, name):
+        return mod.variable(col, name, init_fn, *args)
     return None
+
+
+def stream_variable(mod: nn.Module, name: str, shape):
+    """Streaming-state variable in the 'cache' collection. Offline training
+    never materializes stream state, so checkpoints stay cache-free."""
+    return guarded_variable(mod, "cache", name, jnp.zeros, shape)
 
 
 class Conv1d(nn.Module):
@@ -112,12 +134,6 @@ class Conv1d(nn.Module):
     def setup(self):
         assert self.in_features % self.groups == 0
         assert self.features % self.groups == 0
-        if sum(self.pad) == 0 and self.full_kernel <= self.stride:
-            # pad-free fat-stride conv: the extra shift must stay inside the
-            # unconsumed tail or streaming frames would run past chunk ends.
-            assert self.extra_delay < self.full_kernel, (
-                "unalignable streaming delay for pad-free strided conv"
-            )
         kshape = (self.kernel_size, self.in_features // self.groups, self.features)
         if self.weight_norm:
             self.v = self.param("v", self.kernel_init, kshape)
@@ -165,7 +181,10 @@ class Conv1d(nn.Module):
         ext = jnp.concatenate([buf.astype(x.dtype), x], axis=1)
         y = self._conv(ext, (0, 0))
         self.cache.value = ext[:, ext.shape[1] - self.cache_len :, :].astype(buf.dtype)
-        return y
+        # A pad-free fat-stride conv (kernel <= stride) whose extra shift
+        # lets one more window fit emits a spurious trailing frame; it is
+        # recomputed identically from the cache next chunk — drop it.
+        return y[:, : x.shape[1] // self.stride, :]
 
 
 class ConvTranspose1d(nn.Module):

@@ -33,8 +33,13 @@ def amp_to_impulse_response(amp: jax.Array, target_size: int) -> jax.Array:
     ir = jnp.roll(ir, filter_size // 2, axis=-1)
     win = jnp.hanning(filter_size + 1)[:-1].astype(ir.dtype)  # periodic Hann
     ir = ir * win
-    pad = [(0, 0)] * (ir.ndim - 1) + [(0, int(target_size) - int(filter_size))]
-    ir = jnp.pad(ir, pad)
+    extra = int(target_size) - int(filter_size)
+    if extra >= 0:
+        ir = jnp.pad(ir, [(0, 0)] * (ir.ndim - 1) + [(0, extra)])
+    else:
+        # torch's negative pad crops from the end (hit when noise_bands is
+        # large vs. the upsampling product, e.g. the v2_small config).
+        ir = ir[..., : int(target_size)]
     ir = jnp.roll(ir, -(filter_size // 2), axis=-1)
     return ir
 
