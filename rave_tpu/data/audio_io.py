@@ -1,0 +1,129 @@
+"""Audio decode helpers with backend fallback.
+
+The reference shells out to ffmpeg for all decoding (scripts/preprocess.py:
+58-84, rave/dataset.py:301-336). ffmpeg remains the preferred backend when
+present (it is an OS tool); otherwise scipy's wav reader covers .wav.
+"""
+from __future__ import annotations
+
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+AUDIO_EXTENSIONS = (".wav", ".flac", ".ogg", ".mp3", ".aif", ".aiff", ".opus", ".m4a")
+
+
+def have_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def load_audio_chunk_ffmpeg(
+    path: str, n_signal: int, sr: int, channels: int = 1
+):
+    """Yield successive int16 chunks of n_signal*channels samples
+    (reference scripts/preprocess.py:58-84)."""
+    proc = subprocess.Popen(
+        [
+            "ffmpeg", "-hide_banner", "-loglevel", "panic", "-i", path,
+            "-ac", str(channels), "-ar", str(sr), "-f", "s16le", "-",
+        ],
+        stdout=subprocess.PIPE,
+    )
+    chunk_bytes = 2 * n_signal * channels
+    buf = proc.stdout.read(chunk_bytes)
+    while len(buf) == chunk_bytes:
+        yield np.frombuffer(buf, dtype=np.int16).reshape(-1, channels)
+        buf = proc.stdout.read(chunk_bytes)
+    proc.stdout.close()
+    proc.wait()
+
+
+def decode_file(
+    path: str, sr: int, channels: int = 1
+) -> Optional[np.ndarray]:
+    """Whole-file decode -> int16 [T, channels], resampled to sr."""
+    p = str(path)
+    if have_ffmpeg():
+        out = subprocess.run(
+            [
+                "ffmpeg", "-hide_banner", "-loglevel", "panic", "-i", p,
+                "-ac", str(channels), "-ar", str(sr), "-f", "s16le", "-",
+            ],
+            capture_output=True,
+        ).stdout
+        if out:
+            return np.frombuffer(out, dtype=np.int16).reshape(-1, channels)
+    if p.lower().endswith(".wav"):
+        from scipy.io import wavfile
+        from scipy.signal import resample_poly
+
+        file_sr, data = wavfile.read(p)
+        if data.ndim == 1:
+            data = data[:, None]
+        if data.dtype == np.int16:
+            x = data.astype(np.float32) / 32768
+        elif data.dtype == np.int32:
+            x = data.astype(np.float32) / 2147483648
+        elif data.dtype == np.uint8:
+            x = (data.astype(np.float32) - 128) / 128
+        else:
+            x = data.astype(np.float32)
+        # channel adaptation
+        if x.shape[1] < channels:
+            x = np.tile(x, (1, channels))[:, :channels]
+        elif x.shape[1] > channels:
+            x = x[:, :channels]
+        if file_sr != sr:
+            from math import gcd
+
+            g = gcd(int(file_sr), int(sr))
+            x = resample_poly(x, sr // g, file_sr // g, axis=0)
+        return np.clip(x * 32768, -32768, 32767).astype(np.int16)
+    return None
+
+
+def decode_slice_ffmpeg(
+    path: str, start_sec: float, n_signal: int, sr: int, channels: int = 1
+) -> np.ndarray:
+    """Seek-decode a slice (reference rave/dataset.py:301-336)."""
+    out = subprocess.run(
+        [
+            "ffmpeg", "-hide_banner", "-loglevel", "panic",
+            "-ss", str(start_sec), "-i", str(path),
+            "-ac", str(channels), "-ar", str(sr),
+            "-t", str(n_signal / sr + 0.1), "-f", "s16le", "-",
+        ],
+        capture_output=True,
+    ).stdout
+    x = np.frombuffer(out, dtype=np.int16).reshape(-1, channels)
+    if x.shape[0] < n_signal:
+        x = np.pad(x, ((0, n_signal - x.shape[0]), (0, 0)))
+    return x[:n_signal]
+
+
+def probe_length(path: str) -> Tuple[float, int]:
+    """(duration_seconds, channels) via ffprobe."""
+    try:
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-show_entries",
+                "stream=duration,channels", "-of", "csv=p=0", str(path),
+            ],
+            capture_output=True,
+            text=True,
+        ).stdout.strip().split("\n")[0]
+        parts = out.split(",")
+        return float(parts[1]), int(parts[0])
+    except Exception:
+        return 0.0, 0
+
+
+def search_for_audios(root: str, extensions=AUDIO_EXTENSIONS):
+    files = []
+    for p in sorted(Path(root).rglob("*")):
+        if p.suffix.lower() in extensions and p.is_file():
+            files.append(str(p))
+    return files

@@ -106,8 +106,8 @@ class SpectralDistance:
     mel: Optional[int] = None
 
     def _spec(self, x: jax.Array) -> jax.Array:
-        if x.ndim == 3:
-            x = x.reshape(-1, x.shape[-1])
+        if x.ndim == 3:  # [B, T, C] channels-last -> [(B*C), T]
+            x = x.swapaxes(1, 2).reshape(-1, x.shape[1])
         s = spectrogram(
             x,
             self.n_fft,

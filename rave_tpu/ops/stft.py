@@ -26,7 +26,25 @@ def hann_window(n: int) -> np.ndarray:
 
 
 def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
-    """[B, T] -> [B, F, frame_length] overlapping frames (no padding)."""
+    """[B, T] -> [B, F, frame_length] overlapping frames (no padding).
+
+    When frame_length is a multiple of hop (all stock configs: hop = n/4),
+    frames are assembled from `frame_length // hop` strided reshapes —
+    pure data movement XLA compiles to cheap copies. (The obvious
+    `conv_general_dilated_patches` lowering builds a frame_length-wide
+    identity-kernel convolution whose compile time is pathological at
+    n_fft = 2048.)
+    """
+    B, T = x.shape
+    if frame_length % hop == 0:
+        n_frames = (T - frame_length) // hop + 1
+        nb = frame_length // hop
+        parts = [
+            jax.lax.dynamic_slice_in_dim(x, j * hop, n_frames * hop, axis=1)
+            .reshape(B, n_frames, hop)
+            for j in range(nb)
+        ]
+        return jnp.concatenate(parts, axis=-1)
     patches = jax.lax.conv_general_dilated_patches(
         x[:, :, None],
         filter_shape=(frame_length,),
@@ -138,8 +156,8 @@ class MultiScaleSTFT:
     num_mels: int | None = None
 
     def __call__(self, x: jax.Array) -> list[jax.Array]:
-        if x.ndim == 3:
-            x = x.reshape(-1, x.shape[-1])
+        if x.ndim == 3:  # [B, T, C] channels-last -> [(B*C), T]
+            x = x.swapaxes(1, 2).reshape(-1, x.shape[1])
         outs = []
         for scale in self.scales:
             s = stft(x, scale, scale // 4, center=True, normalized=self.normalized)
