@@ -1,0 +1,183 @@
+"""`rave-tpu` command line — the scripts/main_cli.py equivalent.
+
+Subcommands: preprocess | train | train_prior | export | generate |
+remote_dataset (reference scripts/main_cli.py:5-7).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_config_flags(p: argparse.ArgumentParser):
+    p.add_argument(
+        "--config", action="append", default=[],
+        help="config preset (stackable, e.g. --config v2 --config causal)",
+    )
+    p.add_argument(
+        "--override", action="append", default=[],
+        help="dotted config override, e.g. train.beta_target=0.2",
+    )
+    p.add_argument(
+        "--augment", action="append", default=[],
+        help="augmentation name (mute|compress|gain)",
+    )
+
+
+def cmd_preprocess(argv):
+    p = argparse.ArgumentParser("rave-tpu preprocess")
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--num_signal", type=int, default=131072)
+    p.add_argument("--sampling_rate", type=int, default=44100)
+    p.add_argument("--channels", type=int, default=1)
+    p.add_argument("--lazy", action="store_true")
+    p.add_argument("--workers", type=int, default=8)
+    a = p.parse_args(argv)
+    from rave_tpu.data.preprocess import preprocess
+
+    meta = preprocess(
+        a.input_path, a.output_path, a.num_signal, a.sampling_rate,
+        a.channels, a.lazy, a.workers,
+    )
+    print(meta)
+
+
+def cmd_train(argv):
+    p = argparse.ArgumentParser("rave-tpu train")
+    _add_config_flags(p)
+    p.add_argument("--name", required=True)
+    p.add_argument("--db_path", required=True)
+    p.add_argument("--out_path", default="runs")
+    p.add_argument("--channels", type=int, default=0)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n_signal", type=int, default=131072)
+    p.add_argument("--max_steps", type=int, default=6_000_000)
+    p.add_argument("--val_every", type=int, default=10000)
+    p.add_argument("--save_every", type=int, default=500000)
+    p.add_argument("--smoke_test", action="store_true")
+    p.add_argument("--ema", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_resume", action="store_true")
+    a = p.parse_args(argv)
+
+    from rave_tpu import config as config_lib
+    from rave_tpu.train.loop import train
+
+    cfg = config_lib.compose(a.config or ["v2"], a.override)
+    cfg.data.batch = a.batch
+    cfg.data.n_signal = a.n_signal
+    if a.augment:
+        cfg.data.augmentations = tuple(list(cfg.data.augmentations) + a.augment)
+    if a.ema is not None:
+        cfg.train.ema = a.ema
+    run_dir = train(
+        cfg,
+        a.db_path,
+        name=a.name,
+        out_path=a.out_path,
+        n_channels=a.channels or None,
+        max_steps=a.max_steps,
+        val_every=a.val_every,
+        save_every=a.save_every,
+        smoke_test=a.smoke_test,
+        seed=a.seed,
+        resume=not a.no_resume,
+    )
+    print(f"run dir: {run_dir}")
+
+
+def cmd_train_prior(argv):
+    p = argparse.ArgumentParser("rave-tpu train_prior")
+    p.add_argument("--run", required=True, help="pretrained RAVE run dir")
+    p.add_argument("--db_path", required=True)
+    p.add_argument("--name", required=True)
+    p.add_argument("--out_path", default="runs")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n_signal", type=int, default=131072)
+    p.add_argument("--max_steps", type=int, default=1_000_000)
+    p.add_argument("--val_every", type=int, default=10000)
+    p.add_argument("--fidelity", type=float, default=0.95)
+    p.add_argument("--smoke_test", action="store_true")
+    a = p.parse_args(argv)
+    from rave_tpu.prior.train import train_prior
+
+    train_prior(
+        run=a.run, db_path=a.db_path, name=a.name, out_path=a.out_path,
+        batch=a.batch, n_signal=a.n_signal, max_steps=a.max_steps,
+        val_every=a.val_every, fidelity=a.fidelity, smoke_test=a.smoke_test,
+    )
+
+
+def cmd_export(argv):
+    p = argparse.ArgumentParser("rave-tpu export")
+    p.add_argument("--run", required=True)
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--fidelity", type=float, default=0.95)
+    p.add_argument("--stereo", action="store_true")
+    p.add_argument("--ema_weights", action="store_true")
+    p.add_argument("--channels", type=int, default=0)
+    p.add_argument("--sr", type=int, default=0, help="target sample rate")
+    p.add_argument("--output", default=None)
+    a = p.parse_args(argv)
+    from rave_tpu.export.export import export_model
+
+    path = export_model(
+        run=a.run, streaming=a.streaming, fidelity=a.fidelity,
+        stereo=a.stereo, use_ema=a.ema_weights,
+        channels=a.channels or None, target_sr=a.sr or None, output=a.output,
+    )
+    print(f"exported: {path}")
+
+
+def cmd_generate(argv):
+    p = argparse.ArgumentParser("rave-tpu generate")
+    p.add_argument("--model", required=True, help="run dir or exported artifact")
+    p.add_argument("--input", required=True, nargs="+")
+    p.add_argument("--out_path", default="generated")
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--chunk_size", type=int, default=0)
+    a = p.parse_args(argv)
+    from rave_tpu.export.generate import generate
+
+    generate(
+        model=a.model, inputs=a.input, out_path=a.out_path,
+        streaming=a.streaming, chunk_size=a.chunk_size or None,
+    )
+
+
+def cmd_remote_dataset(argv):
+    p = argparse.ArgumentParser("rave-tpu remote_dataset")
+    p.add_argument("--db_path", required=True)
+    p.add_argument("--port", type=int, default=5000)
+    a = p.parse_args(argv)
+    from rave_tpu.data.server import serve
+
+    serve(a.db_path, a.port)
+
+
+COMMANDS = {
+    "preprocess": cmd_preprocess,
+    "train": cmd_train,
+    "train_prior": cmd_train_prior,
+    "export": cmd_export,
+    "generate": cmd_generate,
+    "remote_dataset": cmd_remote_dataset,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: rave-tpu {" + ",".join(COMMANDS) + "} ...")
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd}; available: {sorted(COMMANDS)}")
+        return 1
+    COMMANDS[cmd](argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,238 @@
+"""The training driver (the Lightning Trainer equivalent).
+
+Orchestrates: channel inference, dataset split + per-host loaders, model
+construction, receptive-field measurement, per-phase compiled steps,
+validation (+ PCA buffers), EMA, checkpointing, logging.
+
+Reference flow: scripts/train.py:134-268 + rave/model.py callbacks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rave_tpu import config as config_lib
+from rave_tpu.config import RaveConfig
+from rave_tpu.data.dataset import get_dataset, split_dataset
+from rave_tpu.data.loader import Loader
+from rave_tpu.data.store import get_training_channels
+from rave_tpu.factory import build_audio_distance, build_discriminator, build_rave
+from rave_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+from rave_tpu.train.analysis import pca, receptive_field
+from rave_tpu.train.state import create_train_state
+from rave_tpu.train.steps import build_train_steps, pick_phase
+from rave_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from rave_tpu.utils.logging import MetricsLogger
+
+
+def make_run_dir(root: str, name: str, cfg: RaveConfig) -> Path:
+    run_name = f"{name}_{config_lib.config_hash(cfg)}"
+    run_dir = Path(root) / run_name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "config.json").write_text(config_lib.snapshot(cfg))
+    return run_dir
+
+
+def train(
+    cfg: RaveConfig,
+    db_path: str,
+    name: str = "run",
+    out_path: str = "runs",
+    n_channels: Optional[int] = None,
+    max_steps: Optional[int] = None,
+    val_every: int = 10000,
+    save_every: Optional[int] = None,
+    smoke_test: bool = False,
+    seed: int = 0,
+    resume: bool = True,
+    progress: bool = True,
+):
+    jax.devices()  # initialize the TPU backend before anything imports torch
+    channels = get_training_channels(db_path, n_channels)
+    run_dir = make_run_dir(out_path, name, cfg)
+    logger = MetricsLogger(str(run_dir))
+
+    dataset = get_dataset(
+        db_path,
+        cfg.sampling_rate,
+        cfg.data.n_signal,
+        augmentations=cfg.data.augmentations,
+    )
+    train_idx, val_idx = split_dataset(dataset)
+    host_id, host_count = jax.process_index(), jax.process_count()
+    train_loader = Loader(
+        dataset, train_idx, cfg.data.batch, seed=seed,
+        host_id=host_id, host_count=host_count,
+    )
+    val_loader = Loader(
+        dataset, val_idx, cfg.data.batch, seed=seed, shuffle=False,
+        host_id=host_id, host_count=host_count, drop_last=False,
+    )
+
+    model = build_rave(cfg, n_channels=channels, train=True)
+    model_eval = build_rave(cfg, n_channels=channels, train=False)
+    discriminator = build_discriminator(cfg, n_channels=channels)
+    distance = build_audio_distance(cfg)
+
+    # receptive field (static -> bakes the valid-signal crop into the jit)
+    crop_frames = (0, 0)
+    rf = (0, 0)
+    if cfg.train.valid_signal_crop:
+        t0 = time.time()
+        rf = receptive_field(cfg, n_channels=channels)
+        dim = cfg.n_band * channels if cfg.input_mode == "pqmf" else channels
+        crop_frames = (rf[0] // max(dim, 1), rf[1] // max(dim, 1))
+        if progress:
+            ms = 1000 / cfg.sampling_rate
+            print(
+                f"receptive field: {rf[0]*ms:.1f}ms <- x -> {rf[1]*ms:.1f}ms "
+                f"({time.time()-t0:.0f}s)"
+            )
+
+    state = create_train_state(
+        cfg, model, discriminator, jax.random.key(seed), n_channels=channels
+    )
+    if resume:
+        restored = restore_checkpoint(str(run_dir), state)
+        if restored is not None:
+            state = restored
+            if progress:
+                print(f"resumed at step {int(state.step)}")
+    state = state.replace(
+        model_state={
+            **state.model_state,
+            "buffers": {
+                **state.model_state.get("buffers", {}),
+                "receptive_field": jnp.asarray(rf, jnp.float32),
+            },
+        }
+    )
+
+    mesh = data_mesh()
+    state = replicate(mesh, state)
+
+    steps = build_train_steps(cfg, model, discriminator, crop_frames=crop_frames)
+
+    # ---- jitted validation ----------------------------------------------
+    @jax.jit
+    def val_step(gen_params, model_state, x, rng):
+        variables = {"params": gen_params, **model_state}
+
+        def run(mdl):
+            x_enc = mdl.transform_input(x)
+            z = mdl.encoder(x_enc)
+            if cfg.latent.family == "variational":
+                mean = jnp.split(z, 2, axis=-1)[0]
+            else:
+                mean = z
+            zs, _ = mdl.reparametrize(z)
+            y = mdl.decode(zs)
+            d = distance(x, y[:, : x.shape[1], :])
+            return sum(d.values()), mean, y
+
+        return model_eval.apply(variables, rngs={"noise": rng}, method=run)
+
+    max_steps = max_steps or cfg.train.max_steps
+    if smoke_test:
+        max_steps = min(max_steps, int(state.step) + 2)
+        val_every = 1
+
+    rng0 = jax.random.key(seed + 1)
+    step = int(state.step)
+    best_val = float("inf")
+    eval_number = 0
+    t_last, s_last = time.time(), step
+
+    data_iter = train_loader.forever()
+    while step < max_steps:
+        x = next(data_iter)
+        xb = shard_batch(mesh, x)
+        which, warmed, quantize = pick_phase(cfg, step)
+        rng = jax.random.fold_in(rng0, step)
+        if which == "gen":
+            state, metrics = steps["gen"](state, xb, rng, warmed=warmed, quantize=quantize)
+        else:
+            state, metrics = steps["dis"](state, xb, rng, quantize=quantize)
+        step += 1
+
+        if step % 100 == 0 or step <= 2:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t_last
+            m["steps_per_sec"] = (step - s_last) / max(dt, 1e-9)
+            t_last, s_last = time.time(), step
+            logger.log(step, m)
+            logger.update_status(step=step, warmed=bool(warmed))
+            if progress:
+                print(
+                    f"step {step} [{which}] loss_gen={m.get('loss_gen', 0):.3f} "
+                    f"loss_dis={m.get('loss_dis', 0):.3f} "
+                    f"({m['steps_per_sec']:.2f} it/s)",
+                    flush=True,
+                )
+
+        if step % val_every == 0 or step == max_steps:
+            val_loss, latents, audio = run_validation(
+                cfg, state, val_loader, val_step, logger, step, eval_number,
+                warmed,
+            )
+            eval_number += 1
+            if val_loss is not None and val_loss <= best_val:
+                best_val = val_loss
+                save_checkpoint(str(run_dir), step, jax.device_get(state))
+            elif save_every and step % save_every == 0:
+                save_checkpoint(str(run_dir), step, jax.device_get(state))
+            # update PCA buffers (pre-warmup, variational only;
+            # reference rave/model.py:463-488)
+            if latents is not None and not warmed and cfg.latent.family == "variational":
+                comp, mean, fid = pca(latents)
+                bufs = dict(state.model_state.get("buffers", {}))
+                bufs.update(
+                    latent_pca=jnp.asarray(comp),
+                    latent_mean=jnp.asarray(mean),
+                    fidelity=jnp.asarray(fid),
+                )
+                state = state.replace(
+                    model_state={**state.model_state, "buffers": bufs}
+                )
+                for p in (0.8, 0.9, 0.95, 0.99):
+                    logger.log(step, {f"fidelity_{p}": float(np.argmax(fid > p))})
+
+    save_checkpoint(str(run_dir), step, jax.device_get(state))
+    return str(run_dir)
+
+
+def run_validation(cfg, state, val_loader, val_step, logger, step, eval_number, warmed):
+    losses, latents, audios = [], [], []
+    rng = jax.random.key(1234)
+    n = 0
+    for x in val_loader.epoch(0):
+        loss, mean, y = val_step(
+            state.gen_params, state.model_state, jnp.asarray(x), rng
+        )
+        losses.append(float(loss))
+        latents.append(np.asarray(mean))
+        if len(audios) < 2:
+            audios.append((x, np.asarray(y)))
+        n += 1
+        if n >= 8:
+            break
+    if not losses:
+        return None, None, None
+    val = float(np.mean(losses))
+    logger.log(step, {"validation": val})
+    if audios:
+        xy = np.concatenate(
+            [np.concatenate([a[0], a[1][:, : a[0].shape[1]]], axis=1) for a in audios],
+            axis=0,
+        )
+        logger.log_audio(
+            "audio_val", xy[:4, :, 0].reshape(-1), cfg.sampling_rate, eval_number
+        )
+    z = np.concatenate([l.reshape(-1, l.shape[-1]) for l in latents], 0)
+    return val, z, audios
