@@ -138,6 +138,35 @@ def leaky_relu(x):
     return jax.nn.leaky_relu(x, 0.2)
 
 
+def unit_norm_vector_to_angles(x: jax.Array) -> jax.Array:
+    """Unit hypersphere -> normalized angles in [-1, 1], channel axis last.
+
+    Reference: rave/blocks.py:933-946 (exported spherical latents).
+    [B, T, C] -> [B, T, C-1].
+    """
+    tail = jnp.sqrt(
+        jnp.cumsum((x**2)[..., ::-1], axis=-1)[..., ::-1] + 1e-12
+    )  # t_k = ||x[k:]||
+    ang = jnp.arccos(jnp.clip(x[..., :-1] / tail[..., :-1], -1.0, 1.0))
+    last = jnp.where(x[..., -1:] >= 0, ang[..., -1:], 2 * np.pi - ang[..., -1:])
+    ang = jnp.concatenate([ang[..., :-1] / np.pi, last / (2 * np.pi)], axis=-1)
+    return 2 * (ang - 0.5)
+
+
+def angles_to_unit_norm_vector(angles: jax.Array) -> jax.Array:
+    """Inverse of unit_norm_vector_to_angles (reference rave/blocks.py:949-963).
+    [B, T, C-1] -> [B, T, C]."""
+    a = (angles / 2 + 0.5) % 1
+    a = jnp.concatenate(
+        [a[..., :-1] * np.pi, a[..., -1:] * (2 * np.pi)], axis=-1
+    )
+    cos = jnp.cos(a)
+    sin = jnp.cumprod(jnp.sin(a), axis=-1)
+    cos = jnp.concatenate([cos, jnp.ones_like(cos[..., :1])], axis=-1)
+    sin = jnp.concatenate([jnp.ones_like(sin[..., :1]), sin], axis=-1)
+    return cos * sin
+
+
 class Snake(nn.Module):
     """x + sin^2(alpha*x)/alpha with learnable per-channel alpha.
 
