@@ -1,0 +1,62 @@
+"""Offline batch file transformation through a trained model or artifact.
+
+The `rave generate` equivalent (scripts/generate.py:33-123): decode input
+audio, run forward (optionally simulating streaming by chunking), write
+reconstructed wavs.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.io import wavfile
+
+from rave_tpu.data.audio_io import decode_file
+
+
+def generate(
+    model: str,
+    inputs: Sequence[str],
+    out_path: str = "generated",
+    streaming: bool = False,
+    chunk_size: Optional[int] = None,
+):
+    from rave_tpu.export.artifact import ExportedRAVE
+
+    p = Path(model)
+    if not (p / "manifest.json").exists():
+        # run directory -> export on the fly
+        from rave_tpu.export.export import export_model
+
+        p = Path(export_model(run=model, streaming=streaming))
+    art = ExportedRAVE(str(p))
+    sr = art.manifest["sampling_rate"]
+    block = chunk_size or art.manifest["block_size"]
+    out_dir = Path(out_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    for f in inputs:
+        x = decode_file(f, sr, art.n_channels)
+        if x is None:
+            print(f"skipping {f} (cannot decode)")
+            continue
+        x = x.astype(np.float32) / 32768.0
+        T = (x.shape[0] // block) * block
+        x = x[:T]
+        xb = jnp.asarray(x[None])
+        if streaming:
+            art.reset_stream()
+            outs = []
+            for i in range(0, T, block):
+                outs.append(
+                    np.asarray(art.forward(xb[:, i : i + block], streaming=True))
+                )
+            y = np.concatenate(outs, axis=1)[0]
+        else:
+            y = np.asarray(art.forward(xb))[0]
+        y = np.clip(y[: x.shape[0]], -1, 1)
+        out_file = out_dir / (Path(f).stem + "_reconstructed.wav")
+        wavfile.write(out_file, sr, (y * 32767).astype(np.int16))
+        print(f"wrote {out_file}")
