@@ -62,113 +62,137 @@ class ExportedRAVE:
         self.latent_size = self.manifest["latent_size"]
         self.full_latent_size = self.manifest["full_latent_size"]
         self._rng = jax.random.key(self.manifest.get("seed", 0))
+        self._jitted = {}
 
-    # ---- latent post/pre processing (per family) ------------------------
+    # ---- latent post/pre processing (per family; pure, jit-safe) ---------
     def _next_rng(self):
         self._rng, r = jax.random.split(self._rng)
         return r
 
-    def post_process_latent(self, z):
+    def post_process_latent(self, variables, z, rng):
+        """Raw encoder output -> user-facing latents
+        (reference scripts/export.py:351-408)."""
         fam = self.cfg.latent.family
-        bufs = self.variables["buffers"]
+        bufs = variables["buffers"]
         if fam == "variational":
             mean, scale = jnp.split(z, 2, axis=-1)
             std = jax.nn.softplus(scale) + 1e-4
-            eps = jax.random.normal(self._next_rng(), mean.shape, mean.dtype)
+            eps = jax.random.normal(rng, mean.shape, mean.dtype)
             zs = mean + std * eps
             zs = zs - bufs["latent_mean"]
             zs = zs @ jnp.asarray(bufs["latent_pca"]).T
             return zs[..., : self.latent_size]
         if fam == "discrete":
             # [B, Q, T] indices -> channels-last [B, T, Q]
-            idx = self._apply("encode_indices", z)
+            idx = self.model.apply(
+                variables, z, method=lambda mdl, zz: mdl.encoder.encode_indices(zz)
+            )
             return idx.swapaxes(1, 2).astype(jnp.float32)
         if fam == "spherical":
             return blocks.unit_norm_vector_to_angles(z)
         return z  # wasserstein
 
-    def pre_process_latent(self, z):
+    def pre_process_latent(self, variables, z, rng):
         fam = self.cfg.latent.family
-        bufs = self.variables["buffers"]
+        bufs = variables["buffers"]
         if fam == "variational":
             pad = self.full_latent_size - z.shape[-1]
-            noise = jax.random.normal(
-                self._next_rng(), z.shape[:-1] + (pad,), z.dtype
-            )
+            noise = jax.random.normal(rng, z.shape[:-1] + (pad,), z.dtype)
             z = jnp.concatenate([z, noise], axis=-1)
             z = z @ jnp.asarray(bufs["latent_pca"])
             return z + bufs["latent_mean"]
         if fam == "discrete":
             idx = jnp.clip(z, 0, self.cfg.latent.codebook_size - 1).astype(jnp.int32)
             # [B, T, Q] -> rvq decode expects [B, Q, T]
-            zq = self._apply("decode_indices", idx.swapaxes(1, 2))
+            zq = self.model.apply(
+                variables,
+                idx.swapaxes(1, 2),
+                method=lambda mdl, ii: mdl.encoder.decode_indices(ii),
+            )
             aug = self.cfg.latent.noise_augmentation
             if aug:
-                noise = jax.random.normal(
-                    self._next_rng(), zq.shape[:-1] + (aug,), zq.dtype
-                )
+                noise = jax.random.normal(rng, zq.shape[:-1] + (aug,), zq.dtype)
                 zq = jnp.concatenate([zq, noise], axis=-1)
             return zq
         if fam == "spherical":
             return blocks.angles_to_unit_norm_vector(z)
         aug = self.cfg.latent.noise_augmentation
         if aug:
-            noise = jax.random.normal(
-                self._next_rng(), z.shape[:-1] + (aug,), z.dtype
-            )
+            noise = jax.random.normal(rng, z.shape[:-1] + (aug,), z.dtype)
             z = jnp.concatenate([z, noise], axis=-1)
         return z
 
-    def _apply(self, what, *args, streaming=False):
-        variables = {**self.variables}
+    def _get_jitted(self, what: str, streaming: bool):
+        """One fused XLA program per (method, mode): model pass + latent
+        post/pre-processing, no per-chunk eager dispatch."""
+        key = (what, streaming)
+        if key in self._jitted:
+            return self._jitted[key]
+        model = self.model
+        method = {
+            ("encode", False): "encode",
+            ("encode", True): "step_encode",
+            ("decode", False): "decode",
+            ("decode", True): "step_decode",
+        }[key]
+
+        def core(variables, x, rng, r2):
+            if what == "encode":
+                z = model.apply(variables, x, rngs={"noise": rng}, method=method)
+                return self.post_process_latent(variables, z, r2)
+            zp = self.pre_process_latent(variables, x, r2)
+            return model.apply(variables, zp, rngs={"noise": rng}, method=method)
+
         if streaming:
-            variables["cache"] = self.cache
-        rngs = {"noise": self._next_rng()}
-        if what == "encode":
-            method = "step_encode" if streaming else "encode"
-        elif what == "decode":
-            method = "step_decode" if streaming else "decode"
-        elif what == "encode_indices":
 
-            def method(mdl, z):
-                # [B, T, D] latents -> [B, Q, T] indices
-                return mdl.encoder.encode_indices(z)
+            def core_st(variables, cache, x, rng, r2):
+                v = {**variables, "cache": cache}
+                if what == "encode":
+                    z, upd = model.apply(
+                        v, x, rngs={"noise": rng}, method=method,
+                        mutable=["cache", "adain"],
+                    )
+                    return self.post_process_latent(variables, z, r2), upd
+                zp = self.pre_process_latent(variables, x, r2)
+                return model.apply(
+                    v, zp, rngs={"noise": rng}, method=method,
+                    mutable=["cache", "adain"],
+                )
 
-        elif what == "decode_indices":
+            fn = jax.jit(core_st)
+        else:
+            fn = jax.jit(core)
+        self._jitted[key] = fn
+        return fn
 
-            def method(mdl, idx):
-                return mdl.encoder.decode_indices(idx)
-
+    def _apply(self, what, x, streaming=False):
+        rng, r2 = self._next_rng(), self._next_rng()
+        fn = self._get_jitted(what, streaming)
         if streaming:
-            out, updated = self.model.apply(
-                variables, *args, rngs=rngs, method=method, mutable=["cache", "adain"]
-            )
+            out, updated = fn(self.variables, self.cache, x, rng, r2)
             self.cache = updated["cache"]
             if "adain" in updated:
-                self.variables["adain"] = updated["adain"]
+                self.variables = {**self.variables, "adain": updated["adain"]}
             return out
-        return self.model.apply(variables, *args, rngs=rngs, method=method)
+        return fn(self.variables, x, rng, r2)
 
     # ---- public surface --------------------------------------------------
     def encode(self, x, streaming: bool = False):
         """[B, T, C] waveform -> [B, T_lat, latent_size]."""
-        z = self._apply("encode", x, streaming=streaming)
-        return self.post_process_latent(z)
+        return self._apply("encode", x, streaming=streaming)
 
     def decode(self, z, streaming: bool = False):
         """[B, T_lat, latent_size] -> [B, T, C] waveform."""
-        zp = self.pre_process_latent(z)
-        return self._apply("decode", zp, streaming=streaming)
+        return self._apply("decode", z, streaming=streaming)
 
     def forward(self, x, streaming: bool = False):
         return self.decode(self.encode(x, streaming), streaming)
 
     def reset_stream(self):
-        x = jnp.zeros((self.stream_batch, self.manifest["block_size"], self.n_channels))
-        variables = self.model.init(
-            {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
+        # caches are zero-initialized: rebuild from shapes only (no compute)
+        self.cache = jax.tree_util.tree_map(
+            lambda v: jnp.zeros(v.shape, v.dtype), self.cache
         )
-        self.cache = variables.get("cache", {})
 
     # ---- AdaIN attributes (reference export.py:306-341) -----------------
     def _set_adain(self, name: str, value: float):
