@@ -54,7 +54,7 @@ class PQMFAnalysis(nn.Module):
         x = x.swapaxes(1, 2).reshape(B * C, T // self.M, self.M)
         return x
 
-    def _conv(self, frames: jax.Array, padding) -> jax.Array:
+    def _conv(self, frames: jax.Array, padding, offset: int = 0) -> jax.Array:
         z = jax.lax.conv_general_dilated(
             frames,
             jnp.asarray(self.bank.analysis_kernel, dtype=frames.dtype),
@@ -62,7 +62,9 @@ class PQMFAnalysis(nn.Module):
             padding=(padding,),
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
-        return reverse_half(z)
+        # streaming output lags the offline timeline by `delay` frames; the
+        # alternating sign must track offline frame parity
+        return reverse_half(z, offset)
 
     def _merge(self, z: jax.Array, B: int) -> jax.Array:
         # [B*C, F, M] -> [B, F, C*M]
@@ -87,9 +89,9 @@ class PQMFAnalysis(nn.Module):
             self.cache.value = ext[:, ext.shape[1] - sum(self.pad) :, :].astype(
                 buf.dtype
             )
-            z = self._conv(ext, (0, 0))
+            z = self._conv(ext, (0, 0), offset=self.delay % 2)
         else:
-            z = self._conv(frames, (0, 0))
+            z = self._conv(frames, (0, 0), offset=self.delay % 2)
         return self._merge(z, B)
 
 
@@ -158,13 +160,14 @@ class PQMFSynthesis(nn.Module):
 
     def step(self, z: jax.Array) -> jax.Array:
         # NOTE: reverse_half's sign pattern alternates with absolute frame
-        # parity, so it is applied chunk-locally *before* caching; chunks
-        # must hold an even number of frames (any block size divisible by
-        # 2*M — always true for the stock configs).
+        # parity, so it is applied chunk-locally *before* caching (chunks
+        # must hold an even number of frames — any block size divisible by
+        # 2*M, always true for the stock configs), with the phase offset
+        # tracking the incoming stream's lag vs. the offline timeline.
         if self.M == 1:
             return z
         B = z.shape[0]
-        zz = reverse_half(self._split(z))
+        zz = reverse_half(self._split(z), self.in_delay % 2)
         if sum(self.pad) > 0:
             buf = self.cache.value
             ext = jnp.concatenate([buf.astype(zz.dtype), zz], axis=1)

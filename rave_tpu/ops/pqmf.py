@@ -70,14 +70,19 @@ def _center_pad_next_pow_2(x: np.ndarray) -> np.ndarray:
     return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad // 2, pad // 2 + pad % 2)])
 
 
-def reverse_half(x: jax.Array) -> jax.Array:
+def reverse_half(x: jax.Array, offset: int = 0) -> jax.Array:
     """Alternate the sign of odd bands at even frames so every band is a
     proper baseband signal (involution). Reference: rave/pqmf.py:13-17, but
     for channels-last [..., T, M] layout.
+
+    `offset` shifts the alternation phase: streaming paths whose frame
+    stream lags the offline timeline by an odd number of frames pass
+    offset=1 so the signs track *offline* frame parity.
     """
     t, m = x.shape[-2], x.shape[-1]
-    sign = np.ones((t, m), dtype=np.float32)
+    sign = np.ones((t + 1, m), dtype=np.float32)
     sign[::2, 1::2] = -1
+    sign = sign[offset % 2 : offset % 2 + t]
     return x * jnp.asarray(sign, dtype=x.dtype)
 
 

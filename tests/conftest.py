@@ -1,8 +1,11 @@
 import os
+import sys
 
 # Tests always run on a virtual 8-device CPU mesh so multi-chip sharding
-# logic is exercised without TPU hardware (SURVEY.md §2.13).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# logic is exercised without TPU hardware (SURVEY.md §2.13). Force CPU even
+# when the environment pins a hardware backend, and drop any sitecustomize
+# plugin path whose PJRT registration would freeze the device count.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
