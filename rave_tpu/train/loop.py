@@ -66,10 +66,26 @@ def train(
     )
     train_idx, val_idx = split_dataset(dataset)
     host_id, host_count = jax.process_index(), jax.process_count()
-    train_loader = Loader(
-        dataset, train_idx, cfg.data.batch, seed=seed,
-        host_id=host_id, host_count=host_count,
-    )
+    train_loader = None
+    if not cfg.data.augmentations and not str(db_path).startswith("http"):
+        # standard pipeline -> threaded C++ sampler (crop/dither/mangle)
+        try:
+            from rave_tpu.data.loader import NativeLoader
+
+            train_loader = NativeLoader(
+                db_path, train_idx, cfg.data.batch, cfg.data.n_signal,
+                cfg.sampling_rate, seed=seed,
+                host_id=host_id, host_count=host_count,
+            )
+            if progress:
+                print("using native (C++) input pipeline")
+        except Exception:
+            train_loader = None
+    if train_loader is None:
+        train_loader = Loader(
+            dataset, train_idx, cfg.data.batch, seed=seed,
+            host_id=host_id, host_count=host_count,
+        )
     val_loader = Loader(
         dataset, val_idx, cfg.data.batch, seed=seed, shuffle=False,
         host_id=host_id, host_count=host_count, drop_last=False,
