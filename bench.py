@@ -3,6 +3,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference paper's ~20x realtime claim on laptop CPU
 (BASELINE.md north star: >= 20x realtime per chip @ 44.1 kHz).
+
+Methodology: the iteration loop runs on-device under lax.scan with inputs
+generated in-kernel from per-iteration PRNG keys (so no transfer cost and
+nothing a caching layer can memoize); completion is observed by a host
+fetch of the scalar reduction. The fixed dispatch/transfer overhead is
+measured with a 1-iteration run and subtracted.
 """
 from __future__ import annotations
 
@@ -20,46 +26,49 @@ def main():
     cfg = compose(["v2"])
     model = build_rave(cfg, n_channels=1, train=False)
 
-    batch, n_signal = 4, 131072
-    x = jnp.zeros((batch, n_signal, 1), jnp.float32)
+    batch, n_signal = 16, 131072
+    x0 = jnp.zeros((batch, n_signal, 1), jnp.float32)
     variables = jax.jit(model.init)(
-        {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
+        {"params": jax.random.key(0), "noise": jax.random.key(1)}, x0
     )
     variables = {k: v for k, v in variables.items() if k != "cache"}
-
-    @jax.jit
-    def forward(params, x, rng):
-        return model.apply(
-            {**variables, "params": params}, x, rngs={"noise": rng}
-        )
-
     params = variables["params"]
-    # distinct inputs per iteration + a chained reduction so no layer of
-    # the stack can memoize or overlap executions away
-    iters = 20
-    xs = jax.random.normal(
-        jax.random.key(3), (iters, batch, n_signal, 1), jnp.float32
-    ) * 0.1
-    rngs = jax.random.split(jax.random.key(2), iters)
 
-    # warmup / compile
-    acc = jnp.sum(forward(params, xs[0], rngs[0]))
-    jax.block_until_ready(acc)
+    def make_run(iters: int):
+        @jax.jit
+        def run(params, seed):
+            def body(acc, i):
+                k = jax.random.fold_in(seed, i)
+                x = jax.random.normal(k, (batch, n_signal, 1), jnp.float32) * 0.1
+                y = model.apply(
+                    {**variables, "params": params}, x, rngs={"noise": k}
+                )
+                return acc + jnp.sum(y), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(iters))
+            return acc
 
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for i in range(iters):
-        acc = acc + jnp.sum(forward(params, xs[i], rngs[i]))
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
+        return run
 
-    audio_seconds = iters * batch * n_signal / cfg.sampling_rate
-    xrt = audio_seconds / dt
+    def timed(iters: int, seed: int) -> float:
+        run = make_run(iters)
+        float(run(params, jax.random.key(seed)))  # compile + warm
+        best = float("inf")
+        for r in range(3):
+            t0 = time.perf_counter()
+            float(run(params, jax.random.key(seed + 10 + r)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_small = timed(1, 1)
+    iters = 64
+    t_big = timed(iters, 2)
+    per_iter = max(t_big - t_small, 1e-9) / (iters - 1)
+    xrt = batch * n_signal / cfg.sampling_rate / per_iter
     print(
         json.dumps(
             {
                 "metric": "v2_encode_decode_realtime_factor",
-                "value": round(xrt, 2),
+                "value": round(xrt, 1),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(xrt / 20.0, 2),
             }
