@@ -123,6 +123,7 @@ class DataConfig:
     n_signal: int = 131072
     batch: int = 8
     augmentations: Tuple[str, ...] = ()
+    n_channels: int = 1  # resolved at train time from dataset metadata
 
 
 @dataclass

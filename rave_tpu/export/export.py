@@ -36,7 +36,7 @@ def load_run(run: str, use_ema: bool = False):
     cfg_path = search_for_config(run_dir)
     cfg = config_lib.from_dict(json.loads(Path(cfg_path).read_text()))
     # rebuild the state template to restore into
-    meta_channels = 1
+    meta_channels = cfg.data.n_channels
     model = build_rave(cfg, n_channels=meta_channels, train=True)
     dis = build_discriminator(cfg, n_channels=meta_channels)
     template = create_train_state(cfg, model, dis, jax.random.key(0))

@@ -226,15 +226,36 @@ def build_discriminator(cfg: RaveConfig, n_channels: int = 1):
 
 
 def build_audio_distance(cfg: RaveConfig):
-    return AudioDistanceV1(
-        multiscale_stft=MultiScaleSTFT(
+    kind = cfg.distance.kind
+    if kind == "v1":
+        return AudioDistanceV1(
+            multiscale_stft=MultiScaleSTFT(
+                scales=tuple(cfg.distance.scales),
+                sample_rate=cfg.sampling_rate,
+                magnitude=True,
+                num_mels=cfg.distance.num_mels,
+            ),
+            log_epsilon=cfg.distance.log_epsilon,
+        )
+    if kind == "instantaneous":
+        from rave_tpu.ops.distances import WeightedInstantaneousSpectralDistance
+
+        return WeightedInstantaneousSpectralDistance(
+            multiscale_stft=MultiScaleSTFT(
+                scales=tuple(cfg.distance.scales),
+                sample_rate=cfg.sampling_rate,
+                magnitude=False,
+            ),
+            weighted=True,
+        )
+    if kind == "encodec":
+        from rave_tpu.ops.distances import EncodecAudioDistance
+
+        return EncodecAudioDistance(
             scales=tuple(cfg.distance.scales),
-            sample_rate=cfg.sampling_rate,
-            magnitude=True,
-            num_mels=cfg.distance.num_mels,
-        ),
-        log_epsilon=cfg.distance.log_epsilon,
-    )
+            sampling_rate=cfg.sampling_rate,
+        )
+    raise ValueError(f"unknown distance kind {kind}")
 
 
 def build_gan_loss(cfg: RaveConfig):

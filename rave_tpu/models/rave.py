@@ -126,15 +126,24 @@ class RAVE(nn.Module):
     def reparametrize(self, z: jax.Array, rng=None, **kw):
         return self.encoder.reparametrize(z, rng=rng, **kw)
 
-    def decode(self, z: jax.Array) -> jax.Array:
-        y = self.decoder(z)
+    def _run_decoder(self, z: jax.Array, warmed_up: bool = True) -> jax.Array:
+        # v1's noise branch is gated on the warmup phase
+        # (reference rave/blocks.py:418-419); v2 ignores the flag.
+        from rave_tpu.models.blocks import GeneratorV1
+
+        if isinstance(self.decoder, GeneratorV1):
+            return self.decoder(z, warmed_up=warmed_up)
+        return self.decoder(z)
+
+    def decode(self, z: jax.Array, warmed_up: bool = True) -> jax.Array:
+        y = self._run_decoder(z, warmed_up)
         if self.output_mode == "pqmf":
             y = self.pqmf_synthesis(y)
         return y
 
-    def decode_multiband(self, z: jax.Array) -> jax.Array:
+    def decode_multiband(self, z: jax.Array, warmed_up: bool = True) -> jax.Array:
         """Decoder output in band-frame space (pre-synthesis)."""
-        return self.decoder(z)
+        return self._run_decoder(z, warmed_up)
 
     def synthesize(self, y_mb: jax.Array) -> jax.Array:
         return self.pqmf_synthesis(y_mb) if self.output_mode == "pqmf" else y_mb

@@ -55,6 +55,7 @@ def train(
 ):
     jax.devices()  # initialize the TPU backend before anything imports torch
     channels = get_training_channels(db_path, n_channels)
+    cfg.data.n_channels = channels  # recorded in the config snapshot
     run_dir = make_run_dir(out_path, name, cfg)
     logger = MetricsLogger(str(run_dir))
 

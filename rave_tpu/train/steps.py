@@ -42,7 +42,7 @@ def _autoencode(
         if cfg.latent.family == "discrete":
             rkw = dict(enabled=quantize, train=train)
         zs, reg = mdl.reparametrize(z, **rkw)
-        y_mb = mdl.decode_multiband(zs)
+        y_mb = mdl.decode_multiband(zs, warmed_up=warmed)
         y_raw = mdl.synthesize(y_mb)
         y_raw = y_raw[:, : x.shape[1], :]
         if cfg.output_mode == "pqmf":

@@ -1,0 +1,75 @@
+"""Training-step tests: phase selection, determinism, EMA, state shapes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rave_tpu.config import compose
+from rave_tpu.factory import build_discriminator, build_rave
+from rave_tpu.train import build_train_steps, create_train_state, pick_phase
+
+TINY = [
+    "capacity=2",
+    "discriminator.capacity=2",
+    "latent_size=4",
+    "ratios=[4,4,2]",
+    "dilations=[[1],[1],[1]]",
+    "distance.scales=[512,256]",
+    "train.phase_1_duration=4",
+    "train.update_discriminator_every=2",
+    "train.beta_warmup_len=8",
+    "train.ema=0.99",
+]
+
+
+def test_pick_phase():
+    cfg = compose(["v2"], TINY)
+    # pre-warmup: always gen
+    assert pick_phase(cfg, 0)[0] == "gen"
+    assert pick_phase(cfg, 3) == ("gen", False, False)
+    # post-warmup: every 2nd step is dis
+    assert pick_phase(cfg, 4)[0] == "dis"
+    assert pick_phase(cfg, 5)[0] == "gen"
+    assert pick_phase(cfg, 6)[0] == "dis"
+
+
+@pytest.fixture()
+def setup():
+    cfg = compose(["v2"], TINY)
+    model = build_rave(cfg, n_channels=1, train=True)
+    dis = build_discriminator(cfg, n_channels=1)
+    state = create_train_state(cfg, model, dis, jax.random.key(0), n_signal=8192)
+    steps = build_train_steps(cfg, model, dis, crop_frames=(1, 1))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8192, 1)) * 0.1, jnp.float32
+    )
+    return cfg, state, steps, x
+
+
+def test_gen_step_runs_and_is_deterministic(setup):
+    cfg, state, steps, x = setup
+    s1, m1 = steps["gen"](state, x, jax.random.key(1), warmed=False, quantize=False)
+    # rebuild identical state (donated buffers) and repeat
+    cfg2 = compose(["v2"], TINY)
+    model = build_rave(cfg2, n_channels=1, train=True)
+    dis = build_discriminator(cfg2, n_channels=1)
+    state2 = create_train_state(cfg2, model, dis, jax.random.key(0), n_signal=8192)
+    s2, m2 = steps["gen"](state2, x, jax.random.key(1), warmed=False, quantize=False)
+    assert float(m1["loss_gen"]) == float(m2["loss_gen"])  # same seed, same loss
+    assert int(s1.step) == 1
+    assert np.isfinite(float(m1["loss_gen"]))
+    assert float(m1["beta_factor"]) > 0
+    # EMA moved toward the updated params
+    l0 = jax.tree_util.tree_leaves(s1.ema_params)[0]
+    assert np.isfinite(np.asarray(l0)).all()
+    return s1, m1
+
+
+def test_adversarial_and_dis_steps(setup):
+    cfg, state, steps, x = setup
+    s, m = steps["gen"](state, x, jax.random.key(2), warmed=True, quantize=False)
+    assert "feature_matching" in m and "adversarial" in m
+    assert float(m["loss_dis"]) > 0
+    s, m = steps["dis"](s, x, jax.random.key(3), quantize=False)
+    assert float(m["loss_dis"]) > 0
+    assert int(s.step) == 2
