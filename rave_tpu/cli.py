@@ -119,6 +119,7 @@ def cmd_export(argv):
     p.add_argument("--channels", type=int, default=0)
     p.add_argument("--sr", type=int, default=0, help="target sample rate")
     p.add_argument("--output", default=None)
+    p.add_argument("--prior", default=None, help="prior run dir to bundle")
     a = p.parse_args(argv)
     from rave_tpu.export.export import export_model
 
@@ -126,6 +127,7 @@ def cmd_export(argv):
         run=a.run, streaming=a.streaming, fidelity=a.fidelity,
         stereo=a.stereo, use_ema=a.ema_weights,
         channels=a.channels or None, target_sr=a.sr or None, output=a.output,
+        prior=a.prior,
     )
     print(f"exported: {path}")
 

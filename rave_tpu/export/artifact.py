@@ -63,6 +63,66 @@ class ExportedRAVE:
         self.full_latent_size = self.manifest["full_latent_size"]
         self._rng = jax.random.key(self.manifest.get("seed", 0))
         self._jitted = {}
+        self._prior = None
+        if self.manifest.get("prior") and (self.path / "prior_params.msgpack").exists():
+            from rave_tpu.prior.model import Prior
+
+            pc = self.manifest["prior"]
+            self._prior = Prior(
+                latent_size=pc["latent_size"],
+                resolution=pc["resolution"],
+                res_size=pc["res_size"],
+                skp_size=pc["skp_size"],
+                kernel_size=pc["kernel_size"],
+                cycle_size=pc["cycle_size"],
+                n_layers=pc["n_layers"],
+            )
+            x0 = jnp.zeros((1, 4, pc["resolution"] * pc["latent_size"]))
+            pv = jax.jit(self._prior.init)({"params": jax.random.key(0)}, x0)
+            raw = (self.path / "prior_params.msgpack").read_bytes()
+            self._prior_params = flax.serialization.from_bytes(pv["params"], raw)
+
+    @property
+    def has_prior(self) -> bool:
+        return self._prior is not None
+
+    def sample_prior(self, n_frames: int, rng=None, argmax: bool = False):
+        """Generate latents from the bundled autoregressive prior, ready to
+        feed `decode` (reference export.py:543-558 / TraceModel)."""
+        if self._prior is None:
+            raise RuntimeError("artifact was exported without a prior")
+        from rave_tpu.prior.core import DiagonalShift, QuantizedNormal
+        from rave_tpu.prior.model import generate
+
+        if rng is None:
+            rng = self._next_rng()
+        pc = self.manifest["prior"]
+        qn = QuantizedNormal(pc["resolution"])
+        shift = DiagonalShift()
+        D = pc["latent_size"]
+        x0 = jnp.zeros((1, 1, pc["resolution"] * D))
+        cache = self._prior_cache()
+        r1, r2 = jax.random.split(rng)
+        ys = generate(
+            self._prior, self._prior_params, cache, x0,
+            n_frames + D - 1, r1, argmax=argmax,
+        )
+        z = shift.inverse(qn.decode(ys, rng=r2))
+        # match the artifact latent width (pad with noise / truncate)
+        if z.shape[-1] < self.latent_size:
+            pad = jax.random.normal(
+                r2, z.shape[:-1] + (self.latent_size - z.shape[-1],), z.dtype
+            )
+            z = jnp.concatenate([z, pad], axis=-1)
+        return z[..., : self.latent_size]
+
+    def _prior_cache(self):
+        pc = self.manifest["prior"]
+        x0 = jnp.zeros((1, 1, pc["resolution"] * pc["latent_size"]))
+        v = jax.jit(self._prior.init)({"params": jax.random.key(0)}, x0)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, a.dtype), v.get("cache", {})
+        )
 
     # ---- latent post/pre processing (per family; pure, jit-safe) ---------
     def _next_rng(self):

@@ -56,6 +56,7 @@ def export_model(
     channels: Optional[int] = None,
     target_sr: Optional[int] = None,
     output: Optional[str] = None,
+    prior: Optional[str] = None,
 ) -> str:
     cfg, params, model_state, n_channels, run_dir = load_run(run, use_ema)
     n_channels = channels or n_channels
@@ -89,6 +90,26 @@ def export_model(
     name = cfg.name + ("_streaming" if streaming else "")
     out_dir = Path(output or run_dir) / f"{name}.rtpu"
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    # optional prior bundling (reference export.py:543-558, TraceModel)
+    if prior is not None:
+        prior_run = search_for_run(prior)
+        pcfg_path = Path(prior_run) / "prior_config.json"
+        pcfg = json.loads(pcfg_path.read_text())
+        import orbax.checkpoint as ocp
+
+        from rave_tpu.utils.checkpoint import latest_checkpoint
+
+        ckpt = latest_checkpoint(prior_run)
+        restored = ocp.StandardCheckpointer().restore(ckpt)
+        (out_dir / "prior.json").write_text(json.dumps(pcfg, indent=2))
+        (out_dir / "prior_params.msgpack").write_bytes(
+            flax.serialization.to_bytes(restored["params"])
+        )
+        manifest_prior = dict(pcfg)
+    else:
+        manifest_prior = None
+
 
     manifest = {
         "format": "rtpu-v1",
@@ -141,6 +162,7 @@ def export_model(
             else []
         ),
         "config": config_lib.to_dict(cfg),
+        "prior": manifest_prior,
         "version": 1,
     }
 

@@ -31,7 +31,9 @@ def get_pqmf_bank(attenuation: int, n_band: int) -> PQMFBank:
 
 
 def pqmf_analysis_delay(cfg: RaveConfig) -> int:
-    """Streaming delay (band frames) of the PQMF analysis front-end."""
+    """Streaming delay (input frames) of the encoder's front-end."""
+    if cfg.input_mode == "mel":
+        return (cfg.mel_n_fft // 2 - cfg.mel_hop) // cfg.mel_hop
     if cfg.input_mode != "pqmf" or cfg.n_band == 1:
         return 0
     bank = get_pqmf_bank(cfg.pqmf_attenuation, cfg.n_band)

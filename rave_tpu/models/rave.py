@@ -17,9 +17,78 @@ import jax
 import jax.numpy as jnp
 
 from rave_tpu.models.pqmf_module import PQMFAnalysis, PQMFSynthesis
-from rave_tpu.nn.conv import guarded_variable
+from rave_tpu.nn.conv import guarded_variable, stream_variable
 from rave_tpu.ops.pqmf import PQMFBank
-from rave_tpu.ops.stft import mel_filterbank, stft
+from rave_tpu.ops.stft import frame_signal, hann_window, mel_filterbank, stft
+
+
+class MelAnalysis(nn.Module):
+    """Dual-mode log-mel front-end for the hybrid config.
+
+    Offline matches torchaudio MelSpectrogram(center=True) with the
+    reference's last-frame crop (rave/model.py:238-242). Streaming keeps a
+    (n_fft - hop) sample overlap cache and runs causally; the stream lags
+    the centered offline frames by (n_fft//2 - hop)/hop frames.
+    """
+
+    sampling_rate: int
+    n_fft: int = 2048
+    hop: int = 256
+    n_mels: int = 128
+    n_channels: int = 1
+    stream_batch: int = 1
+
+    @property
+    def delay(self) -> int:
+        assert (self.n_fft // 2) % self.hop == 0, (
+            "streaming mel requires hop | n_fft/2"
+        )
+        return (self.n_fft // 2 - self.hop) // self.hop
+
+    def setup(self):
+        self.cache = stream_variable(
+            self,
+            "frame",
+            (
+                self.stream_batch * self.n_channels,
+                self.n_fft - self.hop,
+                1,
+            ),
+        )
+
+    def _project(self, frames: jax.Array, B: int) -> jax.Array:
+        win = jnp.asarray(hann_window(self.n_fft), frames.dtype)
+        mag = jnp.abs(jnp.fft.rfft(frames * win, axis=-1))
+        fb = jnp.asarray(
+            mel_filterbank(self.sampling_rate, self.n_fft, self.n_mels),
+            mag.dtype,
+        )
+        mel = jnp.log1p(jnp.einsum("btf,mf->btm", mag, fb))
+        F = mel.shape[1]
+        return (
+            mel.reshape(B, self.n_channels, F, self.n_mels)
+            .swapaxes(1, 2)
+            .reshape(B, F, self.n_channels * self.n_mels)
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, T, C = x.shape
+        flat = x.swapaxes(1, 2).reshape(B * C, T)
+        flat = jnp.pad(
+            flat, [(0, 0), (self.n_fft // 2, self.n_fft // 2)], mode="reflect"
+        )
+        frames = frame_signal(flat, self.n_fft, self.hop)[:, :-1]
+        return self._project(frames, B)
+
+    def step(self, x: jax.Array) -> jax.Array:
+        B, T, C = x.shape
+        assert T % self.hop == 0
+        flat = x.swapaxes(1, 2).reshape(B * C, T, 1)
+        buf = self.cache.value
+        ext = jnp.concatenate([buf.astype(flat.dtype), flat], axis=1)
+        self.cache.value = ext[:, ext.shape[1] - buf.shape[1] :].astype(buf.dtype)
+        frames = frame_signal(ext[..., 0], self.n_fft, self.hop)
+        return self._project(frames, B)
 
 
 class RAVE(nn.Module):
@@ -56,6 +125,15 @@ class RAVE(nn.Module):
             mode=self.mode,
             stream_batch=self.stream_batch,
         )
+        if self.input_mode == "mel":
+            self.mel_analysis = MelAnalysis(
+                sampling_rate=self.sampling_rate,
+                n_fft=self.mel_n_fft,
+                hop=self.mel_hop,
+                n_mels=self.n_mels,
+                n_channels=self.n_channels,
+                stream_batch=self.stream_batch,
+            )
         # The decoder's output delay is in band-frame units when
         # output_mode == 'pqmf'.
         self.pqmf_synthesis = PQMFSynthesis(
@@ -95,24 +173,11 @@ class RAVE(nn.Module):
         return self.decoder_delay
 
     # ---- input / output transforms --------------------------------------
-    def _mel(self, x: jax.Array) -> jax.Array:
-        B, T, C = x.shape
-        flat = x.swapaxes(1, 2).reshape(B * C, T)
-        s = stft(flat, self.mel_n_fft, self.mel_hop, center=True)
-        mag = jnp.abs(s)[:, :-1, :]  # drop last frame (reference :-1 crop)
-        fb = jnp.asarray(
-            mel_filterbank(self.sampling_rate, self.mel_n_fft, self.n_mels),
-            dtype=mag.dtype,
-        )
-        mel = jnp.log1p(jnp.einsum("btf,mf->btm", mag, fb))
-        F = mel.shape[1]
-        return mel.reshape(B, C, F, self.n_mels).swapaxes(1, 2).reshape(B, F, -1)
-
     def transform_input(self, x: jax.Array) -> jax.Array:
         if self.input_mode == "pqmf":
             return self.pqmf_analysis(x)
         if self.input_mode == "mel":
-            return self._mel(x)
+            return self.mel_analysis(x)
         return x
 
     def multiband(self, x: jax.Array) -> jax.Array:
@@ -157,10 +222,10 @@ class RAVE(nn.Module):
     def step_encode(self, x: jax.Array) -> jax.Array:
         if self.input_mode == "pqmf":
             h = self.pqmf_analysis.step(x)
-        elif self.input_mode == "raw":
-            h = x
+        elif self.input_mode == "mel":
+            h = self.mel_analysis.step(x)
         else:
-            raise NotImplementedError("streaming mel input not yet supported")
+            h = x
         return self.encoder.step(h)
 
     def step_decode(self, z: jax.Array) -> jax.Array:

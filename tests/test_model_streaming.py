@@ -116,6 +116,32 @@ def test_decode_stream_equivalence(mode):
         rel_close(y_st[:, 2 * D :], y_off[:, D : y_off.shape[1] - D])
 
 
+def test_mel_stream_equivalence():
+    """Hybrid (mel-input) encode streaming matches offline."""
+    cfg, model = _build(
+        ["hybrid"], extra=["encoder.ratios=[2,2]", "encoder.dilations=[1]"]
+    )
+    block = cfg.block_size()
+    T = block * 24
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((1, T, 1)) * 0.3, jnp.float32
+    )
+    variables, cache = _init(model, x)
+    z_off = model.apply(variables, x, method="encode")
+    zs = []
+    v = {**variables, "cache": cache}
+    for i in range(0, T, block):
+        z, upd = model.apply(
+            v, x[:, i : i + block], method="step_encode", mutable=["cache"]
+        )
+        v = {**variables, "cache": upd["cache"]}
+        zs.append(z)
+    z_st = jnp.concatenate(zs, axis=1)
+    assert z_st.shape == z_off.shape
+    D = model.encode_delay
+    rel_close(z_st[:, 2 * D :], z_off[:, D : z_off.shape[1] - D], tol=5e-3)
+
+
 def test_pqmf_module_stream():
     from rave_tpu.models.pqmf_module import PQMFAnalysis, PQMFSynthesis
     from rave_tpu.ops.pqmf import PQMFBank
