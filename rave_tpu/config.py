@@ -115,6 +115,8 @@ class TrainConfig:
     lr_end_factor: float = 0.1  # LinearLR 1.0 -> 0.1 over phase 1
     max_steps: int = 6_000_000
     ema: Optional[float] = None
+    remat: bool = False  # rematerialize the autoencoder in the bwd pass
+    bf16: bool = False  # bf16 model compute, fp32 master weights + losses
 
 
 @dataclass

@@ -32,33 +32,43 @@ def _autoencode(
     cfg: RaveConfig, model, variables, x, rng, warmed: bool, quantize: bool,
     train: bool,
 ):
-    """Full autoencoding pass; returns (out, new_model_state)."""
+    """Full autoencoding pass; returns (out, new_model_state).
+
+    With cfg.train.bf16 the model compute runs in bfloat16 (weights are cast
+    per-op from the fp32 masters) while loss targets and outputs are fp32.
+    """
     mutable = [k for k in variables if k != "params"] if train else False
+    bf16 = cfg.train.bf16
 
     def run(mdl):
-        x_enc = mdl.transform_input(x)
+        x_model = x.astype(jnp.bfloat16) if bf16 else x
+        x_enc = mdl.transform_input(x_model)
         z = mdl.encoder(x_enc, warmed_up=warmed)
+        z = z.astype(jnp.float32)
         rkw = {}
         if cfg.latent.family == "discrete":
             rkw = dict(enabled=quantize, train=train)
         zs, reg = mdl.reparametrize(z, **rkw)
-        y_mb = mdl.decode_multiband(zs, warmed_up=warmed)
+        if bf16:
+            zs = zs.astype(jnp.bfloat16)
+        y_mb = mdl.decode_multiband(zs, warmed_up=warmed).astype(jnp.float32)
         y_raw = mdl.synthesize(y_mb)
         y_raw = y_raw[:, : x.shape[1], :]
         if cfg.output_mode == "pqmf":
             y_bands = y_mb
         else:
             y_bands = mdl.multiband(y_raw)
-        if cfg.input_mode == "pqmf":
+        if cfg.input_mode == "pqmf" and not bf16:
             x_bands = x_enc
         else:
+            # loss targets always in fp32 (multiband of the raw waveform)
             x_bands = mdl.multiband(x)
         y_bands = y_bands[:, : x_bands.shape[1], :]
         return {
-            "x_bands": x_bands,
+            "x_bands": x_bands.astype(jnp.float32),
             "y_bands": y_bands,
             "y_raw": y_raw,
-            "reg": reg,
+            "reg": reg.astype(jnp.float32),
         }
 
     out = model.apply(
@@ -171,11 +181,17 @@ def build_train_steps(
     # ---- generator step --------------------------------------------------
     @functools.partial(jax.jit, static_argnames=("warmed", "quantize"), donate_argnums=0)
     def gen_step(state: RaveTrainState, x, rng, warmed: bool, quantize: bool):
-        def loss_fn(gen_params):
+        def autoencode(gen_params):
             variables = {"params": gen_params, **state.model_state}
-            out, new_ms = _autoencode(
+            return _autoencode(
                 cfg, model, variables, x, rng, warmed, quantize, train=True
             )
+
+        if t.remat:
+            autoencode = jax.checkpoint(autoencode)
+
+        def loss_fn(gen_params):
+            out, new_ms = autoencode(gen_params)
             total_gen, _, metrics = losses_and_metrics(
                 out, state.dis_params, x, warmed, state.step
             )
