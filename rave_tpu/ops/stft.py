@@ -55,6 +55,33 @@ def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     return patches
 
 
+import os
+from functools import lru_cache
+
+# 'fft' uses jnp.fft.rfft; 'matmul' evaluates the DFT as two real matmuls —
+# more FLOPs but they run on the MXU, which on TPU often beats the FFT
+# lowering for the loss-sized transforms (n_fft <= 4096).
+STFT_METHOD = os.environ.get("RAVE_TPU_STFT", "fft")
+
+
+@lru_cache(maxsize=32)
+def _dft_basis(n_fft: int) -> np.ndarray:
+    """[n_fft, 2*(n_fft//2+1)] real basis: cos ++ -sin columns."""
+    k = np.arange(n_fft // 2 + 1)
+    t = np.arange(n_fft)
+    ang = 2 * np.pi * np.outer(t, k) / n_fft
+    return np.concatenate([np.cos(ang), -np.sin(ang)], axis=1).astype(np.float32)
+
+
+def _rfft_frames(frames: jax.Array, n_fft: int) -> jax.Array:
+    if STFT_METHOD == "matmul":
+        basis = jnp.asarray(_dft_basis(n_fft), frames.dtype)
+        out = frames @ basis  # [B, F, 2*bins] on the MXU
+        bins = n_fft // 2 + 1
+        return jax.lax.complex(out[..., :bins], out[..., bins:])
+    return jnp.fft.rfft(frames, axis=-1)
+
+
 def stft(
     x: jax.Array,
     n_fft: int,
@@ -74,7 +101,7 @@ def stft(
         x = jnp.pad(x, [(0, 0), (n_fft // 2, n_fft // 2)], mode=pad_mode)
     frames = frame_signal(x, n_fft, hop)
     win = jnp.asarray(hann_window(n_fft), dtype=x.dtype)
-    spec = jnp.fft.rfft(frames * win, axis=-1)
+    spec = _rfft_frames(frames * win, n_fft)
     if normalized:
         spec = spec / jnp.sqrt(jnp.sum(win**2))
     return spec

@@ -228,10 +228,11 @@ def run_validation(cfg, state, val_loader, val_step, logger, step, eval_number, 
     losses, latents, audios = [], [], []
     rng = jax.random.key(1234)
     n = 0
+    # validate with the EMA shadow when enabled (reference EMA callback
+    # swaps weights for validation, scripts/train.py:88-120)
+    params = state.ema_params if state.ema_params is not None else state.gen_params
     for x in val_loader.epoch(0):
-        loss, mean, y = val_step(
-            state.gen_params, state.model_state, jnp.asarray(x), rng
-        )
+        loss, mean, y = val_step(params, state.model_state, jnp.asarray(x), rng)
         losses.append(float(loss))
         latents.append(np.asarray(mean))
         if len(audios) < 2:
