@@ -63,6 +63,31 @@ class ExportedRAVE:
         self.full_latent_size = self.manifest["full_latent_size"]
         self._rng = jax.random.key(self.manifest.get("seed", 0))
         self._jitted = {}
+        # optional sample-rate adaptation (reference export.py:95-99,
+        # 246-247, 291-292)
+        self.resampler = None
+        tsr = self.manifest.get("target_sampling_rate", self.manifest["sampling_rate"])
+        if tsr != self.manifest["sampling_rate"]:
+            from rave_tpu.ops.resampler import Resampler
+
+            self.resampler = Resampler(
+                target_sr=tsr,
+                model_sr=self.manifest["sampling_rate"],
+                stream_batch=self.stream_batch,
+                n_channels=self.n_channels,
+            )
+            xr = jnp.zeros(
+                (self.stream_batch, self.resampler.ratio * 64, self.n_channels)
+            )
+            rv = jax.jit(
+                lambda: self.resampler.init(
+                    {"params": jax.random.key(0)}, xr,
+                    method="to_model_sampling_rate",
+                )
+            )()
+            self._res_cache = jax.tree_util.tree_map(
+                lambda v: jnp.zeros(v.shape, v.dtype), rv.get("cache", {})
+            )
         self._prior = None
         if self.manifest.get("prior") and (self.path / "prior_params.msgpack").exists():
             from rave_tpu.prior.model import Prior
@@ -236,23 +261,69 @@ class ExportedRAVE:
             return out
         return fn(self.variables, x, rng, r2)
 
+    def _resample(self, x, direction: str, streaming: bool):
+        if self.resampler is None:
+            return x
+        method = (
+            ("step_to_model" if streaming else "to_model_sampling_rate")
+            if direction == "in"
+            else ("step_from_model" if streaming else "from_model_sampling_rate")
+        )
+        key = ("resample", method)
+        if key not in self._jitted:
+            res = self.resampler
+
+            if streaming:
+
+                @jax.jit
+                def fn(cache, xx):
+                    return res.apply(
+                        {"cache": cache}, xx, method=method, mutable=["cache"]
+                    )
+
+            else:
+
+                @jax.jit
+                def fn(xx):
+                    return res.apply({}, xx, method=method)
+
+            self._jitted[key] = fn
+        fn = self._jitted[key]
+        if streaming:
+            y, upd = fn(self._res_cache, x)
+            self._res_cache = upd["cache"]
+            return y
+        return fn(x)
+
     # ---- public surface --------------------------------------------------
     def encode(self, x, streaming: bool = False):
-        """[B, T, C] waveform -> [B, T_lat, latent_size]."""
+        """[B, T, C] waveform @ target_sr -> [B, T_lat, latent_size]."""
+        x = self._resample(x, "in", streaming)
         return self._apply("encode", x, streaming=streaming)
 
     def decode(self, z, streaming: bool = False):
-        """[B, T_lat, latent_size] -> [B, T, C] waveform."""
-        return self._apply("decode", z, streaming=streaming)
+        """[B, T_lat, latent_size] -> [B, T, C] waveform @ target_sr."""
+        y = self._apply("decode", z, streaming=streaming)
+        return self._resample(y, "out", streaming)
 
     def forward(self, x, streaming: bool = False):
         return self.decode(self.encode(x, streaming), streaming)
+
+    @property
+    def block_size(self) -> int:
+        """Streaming block in *target-rate* samples."""
+        b = self.manifest["block_size"]
+        return b * self.resampler.ratio if self.resampler else b
 
     def reset_stream(self):
         # caches are zero-initialized: rebuild from shapes only (no compute)
         self.cache = jax.tree_util.tree_map(
             lambda v: jnp.zeros(v.shape, v.dtype), self.cache
         )
+        if self.resampler is not None:
+            self._res_cache = jax.tree_util.tree_map(
+                lambda v: jnp.zeros(v.shape, v.dtype), self._res_cache
+            )
 
     # ---- AdaIN attributes (reference export.py:306-341) -----------------
     def _set_adain(self, name: str, value: float):

@@ -32,8 +32,8 @@ def generate(
 
         p = Path(export_model(run=model, streaming=streaming))
     art = ExportedRAVE(str(p))
-    sr = art.manifest["sampling_rate"]
-    block = chunk_size or art.manifest["block_size"]
+    sr = art.manifest.get("target_sampling_rate", art.manifest["sampling_rate"])
+    block = chunk_size or art.block_size
     out_dir = Path(out_path)
     out_dir.mkdir(parents=True, exist_ok=True)
 

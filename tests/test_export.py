@@ -38,6 +38,32 @@ def _make_run(tmp_path, names, extra=()):
     return cfg, run_dir
 
 
+def test_export_resampled(tmp_path):
+    """Export with target_sr = 2x model sr: the artifact resamples at both
+    ends (reference export.py:95-99)."""
+    from rave_tpu.export.artifact import ExportedRAVE
+    from rave_tpu.export.export import export_model
+
+    cfg, run_dir = _make_run(tmp_path, ["v2"])
+    out = export_model(run=str(run_dir), streaming=True, target_sr=88200)
+    art = ExportedRAVE(str(out))
+    assert art.resampler is not None and art.resampler.ratio == 2
+    block = art.block_size
+    assert block == 2 * art.manifest["block_size"]
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, block * 2, 1)) * 0.3,
+        jnp.float32,
+    )
+    y = art.forward(x)
+    assert y.shape == x.shape
+    art.reset_stream()
+    ys = [
+        np.asarray(art.forward(x[:, i : i + block], streaming=True))
+        for i in range(0, block * 2, block)
+    ]
+    assert np.concatenate(ys, 1).shape == x.shape
+
+
 @pytest.mark.parametrize(
     "names",
     [["v2"], ["v2", "causal"]]
