@@ -358,6 +358,39 @@ class DilatedUnit(nn.Module):
         return self.net.step(x)
 
 
+class FusedDilatedResidual(Residual):
+    """Residual(DilatedUnit) whose offline path runs the pallas fused
+    kernel (ops/kernels/dilated_unit.py) when RAVE_TPU_PALLAS=1 on a TPU
+    backend. Parameter tree and streaming path are identical to the plain
+    Residual, so checkpoints are interchangeable."""
+
+    def __call__(self, x):
+        import os
+
+        inner = self.inner
+        use = (
+            os.environ.get("RAVE_TPU_PALLAS", "0") == "1"
+            and jax.default_backend() == "tpu"
+            and getattr(inner, "activation", None) == "leaky_relu"
+        )
+        if use:
+            from rave_tpu.ops.kernels.dilated_unit import (
+                fused_dilated_unit,
+                pallas_supported,
+            )
+
+            conv1 = inner.net.layers[1]
+            conv2 = inner.net.layers[3]
+            if pallas_supported(
+                conv1.in_features, conv1.kernel_size, conv1.dilation, x.shape[1]
+            ):
+                w1 = conv1.materialized_weight()
+                w2 = conv2.materialized_weight()[0]
+                l, r = conv1.pad
+                return fused_dilated_unit(x, w1, w2, conv1.dilation, l, r)
+        return super().__call__(x)
+
+
 def residual_unit(
     dim: int,
     kernel_size: int,
@@ -376,7 +409,7 @@ def residual_unit(
         activation=activation,
         stream_batch=stream_batch,
     )
-    return Residual(
+    return FusedDilatedResidual(
         inner=unit,
         inner_delay=unit.inner_delay,
         features=dim,

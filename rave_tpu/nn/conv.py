@@ -156,6 +156,10 @@ class Conv1d(nn.Module):
     def _weight(self) -> jax.Array:
         return _norm_weight(self.v, self.g) if self.weight_norm else self.w
 
+    def materialized_weight(self) -> jax.Array:
+        """[K, I, O] kernel with weight_norm applied (for fused kernels)."""
+        return self._weight()
+
     def _conv(self, x: jax.Array, padding) -> jax.Array:
         w = self._weight().astype(x.dtype)
         y = jax.lax.conv_general_dilated(
