@@ -176,6 +176,22 @@ def export_model(
     )
     (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
 
+    # VST stereo-compat smoke test (reference export.py:587-596): decoding a
+    # batch-2 zero latent must produce the declared channel layout.
+    try:
+        from rave_tpu.export.artifact import ExportedRAVE
+
+        art = ExportedRAVE(str(out_dir))
+        z0 = jnp.zeros((stream_batch, 8, int(latent_size)), jnp.float32)
+        y0 = art.decode(z0)
+        assert y0.shape[0] == stream_batch and y0.shape[2] == n_channels, (
+            f"stereo/VST smoke decode produced {y0.shape}"
+        )
+    except AssertionError:
+        raise
+    except Exception as e:  # noqa: BLE001 — smoke is best effort on CPU CI
+        (out_dir / "smoke_warning.txt").write_text(repr(e))
+
     # AOT StableHLO lowering of the streaming step functions (consumable by
     # a C++ PJRT host without Python) — the TorchScript-artifact analog.
     try:
