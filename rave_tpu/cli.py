@@ -59,6 +59,11 @@ def cmd_train(argv):
     p.add_argument("--ema", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--derivative", action="store_true")
+    p.add_argument("--normalize", action="store_true")
+    p.add_argument("--rand_pitch", type=float, default=None)
+    p.add_argument("--no_progress", action="store_true")
     a = p.parse_args(argv)
 
     from rave_tpu import config as config_lib
@@ -67,6 +72,10 @@ def cmd_train(argv):
     cfg = config_lib.compose(a.config or ["v2"], a.override)
     cfg.data.batch = a.batch
     cfg.data.n_signal = a.n_signal
+    cfg.data.workers = a.workers
+    cfg.data.derivative = a.derivative
+    cfg.data.normalize = a.normalize
+    cfg.data.rand_pitch = a.rand_pitch
     if a.augment:
         cfg.data.augmentations = tuple(list(cfg.data.augmentations) + a.augment)
     if a.ema is not None:
@@ -83,6 +92,7 @@ def cmd_train(argv):
         smoke_test=a.smoke_test,
         seed=a.seed,
         resume=not a.no_resume,
+        progress=not a.no_progress,
     )
     print(f"run dir: {run_dir}")
 

@@ -126,6 +126,10 @@ class DataConfig:
     batch: int = 8
     augmentations: Tuple[str, ...] = ()
     n_channels: int = 1  # resolved at train time from dataset metadata
+    derivative: bool = False
+    normalize: bool = False
+    rand_pitch: Optional[float] = None
+    workers: int = 8
 
 
 @dataclass

@@ -63,12 +63,21 @@ def train(
         db_path,
         cfg.sampling_rate,
         cfg.data.n_signal,
+        derivative=cfg.data.derivative,
+        normalize=cfg.data.normalize,
+        rand_pitch=cfg.data.rand_pitch,
         augmentations=cfg.data.augmentations,
     )
     train_idx, val_idx = split_dataset(dataset)
     host_id, host_count = jax.process_index(), jax.process_count()
     train_loader = None
-    if not cfg.data.augmentations and not str(db_path).startswith("http"):
+    standard_pipeline = not (
+        cfg.data.augmentations
+        or cfg.data.derivative
+        or cfg.data.normalize
+        or cfg.data.rand_pitch
+    )
+    if standard_pipeline and not str(db_path).startswith("http"):
         # standard pipeline -> threaded C++ sampler (crop/dither/mangle)
         try:
             from rave_tpu.data.loader import NativeLoader
@@ -85,6 +94,7 @@ def train(
     if train_loader is None:
         train_loader = Loader(
             dataset, train_idx, cfg.data.batch, seed=seed,
+            workers=cfg.data.workers,
             host_id=host_id, host_count=host_count,
         )
     val_loader = Loader(
