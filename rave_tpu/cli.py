@@ -142,6 +142,24 @@ def cmd_export(argv):
     print(f"exported: {path}")
 
 
+def cmd_export_onnx(argv):
+    """Portable-graph export: AOT StableHLO of the offline forward (the
+    reference's export_onnx analog — consumable by any PJRT/IREE-style
+    runtime without Python)."""
+    p = argparse.ArgumentParser("rave-tpu export_onnx")
+    p.add_argument("--run", required=True)
+    p.add_argument("--n_signal", type=int, default=131072)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--output", default=None)
+    a = p.parse_args(argv)
+    from rave_tpu.export.portable import export_portable
+
+    path = export_portable(
+        run=a.run, n_signal=a.n_signal, batch=a.batch, output=a.output
+    )
+    print(f"exported: {path}")
+
+
 def cmd_generate(argv):
     p = argparse.ArgumentParser("rave-tpu generate")
     p.add_argument("--model", required=True, help="run dir or exported artifact")
@@ -173,6 +191,7 @@ COMMANDS = {
     "train": cmd_train,
     "train_prior": cmd_train_prior,
     "export": cmd_export,
+    "export_onnx": cmd_export_onnx,
     "generate": cmd_generate,
     "remote_dataset": cmd_remote_dataset,
 }
