@@ -98,6 +98,64 @@ def test_transforms():
     assert cp.shape == x.shape
 
 
+def test_http_dataset_roundtrip(db):
+    """Remote dataset: REST server (stdlib) + HTTPAudioDataset client."""
+    import threading
+    from http.server import HTTPServer
+
+    from rave_tpu.data.dataset import HTTPAudioDataset
+    from rave_tpu.data.store import ArsReader
+
+    reader = ArsReader(db)
+    # build the handler the same way serve() does, bind to an ephemeral port
+    import base64
+    import json
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, obj, code=200):
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path == "/len":
+                return self._json({"length": len(reader)})
+            if self.path.startswith("/get/"):
+                i = int(self.path.split("/")[-1])
+                rec = reader[i]
+                return self._json(
+                    {
+                        "data": base64.b64encode(
+                            np.ascontiguousarray(rec, "<i2").tobytes()
+                        ).decode(),
+                        "channels": int(rec.shape[1]),
+                        "sr": reader.meta["sr"],
+                    }
+                )
+            return self._json({"error": "nf"}, 404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        ds = HTTPAudioDataset(f"http://127.0.0.1:{port}")
+        assert len(ds) == len(reader)
+        x = ds.get(2, np.random.default_rng(0))
+        np.testing.assert_allclose(
+            x, reader[2].astype(np.float32) / 32767.0, atol=1e-7
+        )
+    finally:
+        srv.shutdown()
+
+
 def test_augmentation_registry():
     augs = T.get_augmentations(["mute", "compress", "gain"], 44100)
     assert len(augs) == 3
