@@ -212,12 +212,10 @@ class BatchNorm1d(nn.Module):
     train: bool = False
 
     def setup(self):
-        self.bn = nn.BatchNorm(
-            use_running_average=not self.train, axis=-1, momentum=0.9, epsilon=1e-5
-        )
+        self.bn = nn.BatchNorm(axis=-1, momentum=0.9, epsilon=1e-5)
 
     def __call__(self, x):
-        return self.bn(x)
+        return self.bn(x, use_running_average=not self.train)
 
     def step(self, x):
         return self.bn(x, use_running_average=True)

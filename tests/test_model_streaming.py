@@ -116,6 +116,70 @@ def test_decode_stream_equivalence(mode):
         rel_close(y_st[:, 2 * D :], y_off[:, D : y_off.shape[1] - D])
 
 
+@pytest.mark.parametrize("mode", ["causal", "centered"])
+def test_v1_stream_equivalence(mode):
+    """v1 family (EncoderV1/GeneratorV1: BatchNorm encoder, UpsampleLayer,
+    multi-kernel ResidualStack, AlignBranches synth; noise disabled for
+    determinism — the 'onnx' preset)."""
+    names = ["onnx"] + (["causal"] if mode == "causal" else [])
+    cfg, model = _build(names, extra=["decoder.res_kernel_sizes=[3]"])
+    block = cfg.block_size()
+    T = block * 48
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal((1, T, 1)) * 0.3, jnp.float32
+    )
+    variables, cache = _init(model, x)
+
+    z_off = model.apply(variables, x, method="encode")
+    zs = []
+    v = {**variables, "cache": cache}
+    for i in range(0, T, block):
+        z, upd = model.apply(
+            v, x[:, i : i + block], method="step_encode", mutable=["cache"]
+        )
+        v = {**variables, "cache": upd["cache"]}
+        zs.append(z)
+    z_st = jnp.concatenate(zs, axis=1)
+    D = model.encode_delay
+    if mode == "causal":
+        assert D == 0
+        np.testing.assert_allclose(
+            np.asarray(z_st), np.asarray(z_off), rtol=1e-4, atol=1e-5
+        )
+    else:
+        rel_close(z_st[:, 2 * D :], z_off[:, D : z_off.shape[1] - D], tol=2e-3)
+
+    # decoder path
+    dec = 1
+    for r in cfg.enc_ratios():
+        dec *= r
+    block_lat = max(block // (cfg.n_band * dec), 2)
+    # enough latent frames that 2 * decode_delay fits inside the signal
+    T_lat = block_lat * max(8, -(-4 * model.decode_delay // (dec * cfg.n_band * block_lat)))
+    zl = jnp.asarray(
+        np.random.default_rng(10).standard_normal((1, T_lat, cfg.latent_size)),
+        jnp.float32,
+    )
+    y_off = model.apply(variables, zl, method="decode")
+    ys = []
+    v = {**variables, "cache": cache}
+    for i in range(0, T_lat, block_lat):
+        y, upd = model.apply(
+            v, zl[:, i : i + block_lat], method="step_decode", mutable=["cache"]
+        )
+        v = {**variables, "cache": upd["cache"]}
+        ys.append(y)
+    y_st = jnp.concatenate(ys, axis=1)
+    Dd = model.decode_delay
+    if mode == "causal":
+        assert Dd == 0
+        np.testing.assert_allclose(
+            np.asarray(y_st), np.asarray(y_off), rtol=1e-4, atol=1e-5
+        )
+    else:
+        rel_close(y_st[:, 2 * Dd :], y_off[:, Dd : y_off.shape[1] - Dd], tol=2e-3)
+
+
 def test_mel_stream_equivalence():
     """Hybrid (mel-input) encode streaming matches offline."""
     cfg, model = _build(
