@@ -176,10 +176,22 @@ def train(
     eval_number = 0
     t_last, s_last = time.time(), step
 
-    data_iter = train_loader.forever()
+    def device_prefetch(it, depth: int = 2):
+        """Overlap host->device transfer with the running step
+        (device_put is async; the deque keeps `depth` batches in flight)."""
+        import collections
+
+        q = collections.deque()
+        for x in it:
+            q.append(shard_batch(mesh, x))
+            if len(q) >= depth:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
+    data_iter = device_prefetch(train_loader.forever())
     while step < max_steps:
-        x = next(data_iter)
-        xb = shard_batch(mesh, x)
+        xb = next(data_iter)
         which, warmed, quantize = pick_phase(cfg, step)
         rng = jax.random.fold_in(rng0, step)
         if which == "gen":
