@@ -53,21 +53,25 @@ CONFIGS_SLOW = [
 
 
 @pytest.mark.parametrize(
-    "names,n_channels",
-    [(c, 1) for c in CONFIGS]
-    + [(c, 2) for c in (["v2"],)]
+    "names,n_channels,sr",
+    [(c, 1, 44100) for c in CONFIGS]
+    + [(["v2"], 2, 44100)]
     + [
-        pytest.param(c, 1, marks=pytest.mark.slow)
+        pytest.param(c, 1, 44100, marks=pytest.mark.slow)
         for c in CONFIGS_SLOW
     ]
     + [
-        pytest.param(c, 2, marks=pytest.mark.slow)
+        pytest.param(c, 2, 44100, marks=pytest.mark.slow)
         for c in (["v1"], ["discrete"])
+    ]
+    + [
+        pytest.param(c, 1, 22050, marks=pytest.mark.slow)
+        for c in (["v1"], ["v2"], ["discrete"])
     ],
     ids=lambda v: "-".join(v) if isinstance(v, list) else str(v),
 )
-def test_config_roundtrip(names, n_channels):
-    cfg = compose(names, TINY)
+def test_config_roundtrip(names, n_channels, sr):
+    cfg = compose(names, TINY + [f"sampling_rate={sr}"])
     model = build_rave(cfg, n_channels=n_channels, train=True)
     dis = build_discriminator(cfg, n_channels=n_channels)
 

@@ -38,6 +38,35 @@ def _make_run(tmp_path, names, extra=()):
     return cfg, run_dir
 
 
+def test_generate_cli(tmp_path):
+    """Offline + streaming file reconstruction through an exported tiny
+    artifact (the scripts/generate.py path)."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from rave_tpu.export.export import export_model
+    from rave_tpu.export.generate import generate
+
+    cfg, run_dir = _make_run(tmp_path, ["v2", "causal"])
+    art = export_model(run=str(run_dir), streaming=True)
+    sr = cfg.sampling_rate
+    wav = tmp_path / "in.wav"
+    t = np.arange(sr) / sr
+    wavfile.write(
+        wav, sr, (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    )
+    generate(model=art, inputs=[str(wav)], out_path=str(tmp_path / "out"))
+    got = tmp_path / "out" / "in_reconstructed.wav"
+    assert got.exists()
+    sr2, y = wavfile.read(got)
+    assert sr2 == sr and len(y) > 0
+    generate(
+        model=art, inputs=[str(wav)], out_path=str(tmp_path / "out2"),
+        streaming=True,
+    )
+    assert (tmp_path / "out2" / "in_reconstructed.wav").exists()
+
+
 def test_export_resampled(tmp_path):
     """Export with target_sr = 2x model sr: the artifact resamples at both
     ends (reference export.py:95-99)."""
