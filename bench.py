@@ -59,10 +59,16 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_small = timed(1, 1)
     iters = 64
-    t_big = timed(iters, 2)
-    per_iter = max(t_big - t_small, 1e-9) / (iters - 1)
+    for attempt in range(3):
+        t_small = timed(1, 1 + attempt * 100)
+        t_big = timed(iters, 2 + attempt * 100)
+        if t_big > t_small * 1.2:
+            break
+    # guard against relay jitter: the marginal estimate is bounded below by
+    # amortizing the big run wholesale (a conservative upper bound on time)
+    per_iter = max(t_big - t_small, 0.0) / (iters - 1)
+    per_iter = max(per_iter, t_big / (iters * 4))
     xrt = batch * n_signal / cfg.sampling_rate / per_iter
     print(
         json.dumps(
