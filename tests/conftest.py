@@ -11,9 +11,20 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# persistent compile cache makes repeated CI runs fast
+# persistent compile cache makes repeated CI runs fast; keyed by whether a
+# hardware-plugin sitecustomize is active — executables AOT-compiled in one
+# environment mis-detect CPU features in the other (observed numerical
+# corruption when shared)
+_suffix = "_plugin" if ".axon_site" in os.environ.get("PYTHONPATH", "") else ""
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+    os.path.join(os.path.dirname(__file__), "..", f".jax_cache_cpu{_suffix}"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# A plugin sitecustomize may have initialized a hardware backend before this
+# file runs, ignoring JAX_PLATFORMS=cpu. The equivalence oracles assume
+# fp32-exact matmuls — pin the precision so they hold on any backend.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
