@@ -22,9 +22,12 @@ os.environ.setdefault(
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-# A plugin sitecustomize may have initialized a hardware backend before this
-# file runs, ignoring JAX_PLATFORMS=cpu. The equivalence oracles assume
-# fp32-exact matmuls — pin the precision so they hold on any backend.
+# A plugin sitecustomize may have latched a hardware backend before this
+# file runs, ignoring the JAX_PLATFORMS env var — but the config update
+# still wins if applied before first device use, restoring the fast
+# virtual 8-device CPU mesh. Pin matmul precision too: the equivalence
+# oracles assume fp32-exact matmuls on any backend.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
