@@ -13,7 +13,13 @@ measured with a 1-iteration run and subtracted.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 import jax
 import jax.numpy as jnp
