@@ -64,6 +64,10 @@ def cmd_train(argv):
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--rand_pitch", type=float, default=None)
     p.add_argument("--no_progress", action="store_true")
+    p.add_argument(
+        "--trace_steps", type=int, default=0,
+        help="capture a jax.profiler trace for N steps into <run>/trace",
+    )
     a = p.parse_args(argv)
 
     from rave_tpu import config as config_lib
@@ -93,6 +97,7 @@ def cmd_train(argv):
         seed=a.seed,
         resume=not a.no_resume,
         progress=not a.no_progress,
+        trace_steps=a.trace_steps,
     )
     print(f"run dir: {run_dir}")
 

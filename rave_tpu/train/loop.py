@@ -52,6 +52,7 @@ def train(
     seed: int = 0,
     resume: bool = True,
     progress: bool = True,
+    trace_steps: int = 0,
 ):
     jax.devices()  # initialize the TPU backend before anything imports torch
     channels = get_training_channels(db_path, n_channels)
@@ -189,8 +190,22 @@ def train(
         while q:
             yield q.popleft()
 
+    # optional jax.profiler trace window (the Lightning profiler="simple"
+    # analog, SURVEY.md §5); view with TensorBoard or xprof
+    trace_start = step + 3 if trace_steps else -1
+    tracing = False
+
     data_iter = device_prefetch(train_loader.forever())
     while step < max_steps:
+        if trace_steps:
+            if step == trace_start and not tracing:
+                jax.profiler.start_trace(str(run_dir / "trace"))
+                tracing = True
+            elif tracing and step >= trace_start + trace_steps:
+                jax.profiler.stop_trace()
+                tracing = False
+                if progress:
+                    print(f"profiler trace written to {run_dir}/trace")
         xb = next(data_iter)
         which, warmed, quantize = pick_phase(cfg, step)
         rng = jax.random.fold_in(rng0, step)
@@ -242,6 +257,10 @@ def train(
                 for p in (0.8, 0.9, 0.95, 0.99):
                     logger.log(step, {f"fidelity_{p}": float(np.argmax(fid > p))})
 
+    if tracing:  # window outlived the run — still flush the trace
+        jax.profiler.stop_trace()
+        if progress:
+            print(f"profiler trace written to {run_dir}/trace")
     save_checkpoint(str(run_dir), step, jax.device_get(state))
     return str(run_dir)
 
