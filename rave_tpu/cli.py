@@ -20,7 +20,9 @@ def _add_config_flags(p: argparse.ArgumentParser):
     )
     p.add_argument(
         "--augment", action="append", default=[],
-        help="augmentation name (mute|compress|gain)",
+        help="augmentation: registry name (mute|compress|gain), inline "
+        "JSON spec ('{\"type\":\"RandomCompress\",...}'), or a Python "
+        "file calling add_augmentation(...) (the gin-file equivalent)",
     )
 
 

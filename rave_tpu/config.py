@@ -310,7 +310,73 @@ def _v2_nopqmf(c: RaveConfig):
     c.train.beta_initial = 1e-6
     c.train.beta_target = 1e-2
     c.train.beta_warmup_len = 500_000
-    c.data.augmentations = ("compress",)
+    # v2_nopqmf.gin:34-42 binds RandomCompress with explicit params
+    c.data.augmentations = (
+        '{"type":"RandomCompress","threshold":-40,"amp_range":[-60,-10],"prob":0.5}',
+    )
+
+
+@preset("v2_nopqmf_small")
+def _v2_nopqmf_small(c: RaveConfig):
+    """rave/configs/v2_nopqmf_small.gin — v1 base + V2 blocks at capacity
+    64, raw-waveform decoder ratios [8,8,8,4] with PQMF kept on the encoder
+    side only (retro flags enable_pqmf_encode=True / enable_pqmf_decode=
+    False, v2_nopqmf_small.gin:100-104), phase 1 = 500k, static reg weight
+    0.02, compress augmentation baked in (lines 34-42)."""
+    _v1(c)
+    c.name = "v2_nopqmf_small"
+    c.capacity = 64
+    c.kernel_size = 3
+    c.dilations = ((1, 3, 9), (1, 3, 9), (1, 3, 9), (1, 3))
+    c.encoder.kind = "v2"
+    c.decoder.kind = "v2"
+    c.encoder.ratios = (4, 4, 4, 2)
+    c.decoder.ratios = (8, 8, 8, 4)
+    c.decoder.amplitude_modulation = True
+    c.discriminator = DiscriminatorConfig(kind="combined", capacity=64)
+    c.output_mode = "raw"
+    c.train.valid_signal_crop = True
+    c.train.num_skipped_features = 1
+    c.train.update_discriminator_every = 4
+    c.train.feature_matching_relative = True
+    c.train.weights["feature_matching"] = 20.0
+    c.train.phase_1_duration = 500_000
+    c.train.beta_initial = c.train.beta_target = 0.02
+    c.train.beta_warmup_len = 1
+    # the gin binds its compress params under the (mistyped) static
+    # Compress scope; the operative intent is the RandomCompress of
+    # v2_nopqmf.gin with the same values
+    c.data.augmentations = (
+        '{"type":"RandomCompress","threshold":-40,"amp_range":[-60,-10],"prob":0.5}',
+    )
+
+
+@preset("v2_with_augs")
+def _v2_with_augs(c: RaveConfig):
+    """rave/configs/v2_with_augs.gin — mel-spectrogram input v2 (N_FFT
+    2048, 128 mels, hop 256, encoder ratios [2,2,2], PQMF decoder ratios
+    [4,4,4,2]) with RandomCompress baked in (lines 27-47)."""
+    _v2(c)
+    c.name = "v2_with_augs"
+    c.input_mode = "mel"
+    c.mel_n_fft = 2048
+    c.mel_hop = 256
+    c.n_mels = 128
+    c.encoder.ratios = (2, 2, 2)
+    c.train.phase_1_duration = 1_000_000
+    c.data.augmentations = (
+        '{"type":"RandomCompress","threshold":-40,"amp_range":[-60,-10],"prob":0.5}',
+    )
+
+
+@preset("normalize_ambient")
+def _normalize_ambient(c: RaveConfig):
+    """rave/configs/normalize_ambient.gin — composable preset that adds a
+    static sox-compand ambient normalizer to the augmentation pipeline
+    (time 0.01,0.01, 6 dB knee, curve -30/-15 -10/-8 0/-5)."""
+    c.data.augmentations = tuple(c.data.augmentations) + (
+        '{"type":"Compress","time":"0.01,0.01","lookup":"6:-30,-15,-10,-8,0,-5"}',
+    )
 
 
 @preset("v3")

@@ -108,6 +108,11 @@ def train(
     discriminator = build_discriminator(cfg, n_channels=channels)
     distance = build_audio_distance(cfg)
 
+    # config + model repr to TB/text at fit start (reference
+    # rave/model.py:497-510 on_fit_start)
+    logger.log_text("config", config_lib.snapshot(cfg))
+    logger.log_text("model", f"{model}\n\n{discriminator}")
+
     # receptive field (static -> bakes the valid-signal crop into the jit)
     crop_frames = (0, 0)
     rf = (0, 0)
@@ -174,6 +179,7 @@ def train(
     rng0 = jax.random.key(seed + 1)
     step = int(state.step)
     best_val = float("inf")
+    saved_at = -1
     eval_number = 0
     t_last, s_last = time.time(), step
 
@@ -233,16 +239,12 @@ def train(
         if step % val_every == 0 or step == max_steps:
             val_loss, latents, audio = run_validation(
                 cfg, state, val_loader, val_step, logger, step, eval_number,
-                warmed,
+                warmed, max_batches=2 if smoke_test else None,
             )
             eval_number += 1
-            if val_loss is not None and val_loss <= best_val:
-                best_val = val_loss
-                save_checkpoint(str(run_dir), step, jax.device_get(state))
-            elif save_every and step % save_every == 0:
-                save_checkpoint(str(run_dir), step, jax.device_get(state))
-            # update PCA buffers (pre-warmup, variational only;
-            # reference rave/model.py:463-488)
+            # update PCA buffers BEFORE any same-step checkpoint save, so
+            # the saved/exported model carries *this* val period's PCA
+            # (pre-warmup, variational only; reference rave/model.py:463-488)
             if latents is not None and not warmed and cfg.latent.family == "variational":
                 comp, mean, fid = pca(latents)
                 bufs = dict(state.model_state.get("buffers", {}))
@@ -256,31 +258,47 @@ def train(
                 )
                 for p in (0.8, 0.9, 0.95, 0.99):
                     logger.log(step, {f"fidelity_{p}": float(np.argmax(fid > p))})
+            if val_loss is not None and val_loss <= best_val:
+                best_val = val_loss
+                save_checkpoint(str(run_dir), step, jax.device_get(state))
+                saved_at = step
+        # periodic snapshots run on their own cadence, independent of
+        # val_every (reference step-period ModelCheckpoint, rave/core.py:538-549)
+        if save_every and step % save_every == 0 and saved_at != step:
+            save_checkpoint(str(run_dir), step, jax.device_get(state))
+            saved_at = step
 
     if tracing:  # window outlived the run — still flush the trace
         jax.profiler.stop_trace()
         if progress:
             print(f"profiler trace written to {run_dir}/trace")
-    save_checkpoint(str(run_dir), step, jax.device_get(state))
+    if saved_at != step:
+        save_checkpoint(str(run_dir), step, jax.device_get(state))
     return str(run_dir)
 
 
-def run_validation(cfg, state, val_loader, val_step, logger, step, eval_number, warmed):
+def run_validation(
+    cfg, state, val_loader, val_step, logger, step, eval_number, warmed,
+    max_batches: Optional[int] = None,
+):
+    """Full validation epoch (reference rave/model.py:426-495 validates every
+    val batch and logs 8 audio clips). `max_batches` exists only for smoke
+    runs; production uses the whole val split."""
     losses, latents, audios = [], [], []
     rng = jax.random.key(1234)
-    n = 0
+    n_clips = 0
     # validate with the EMA shadow when enabled (reference EMA callback
     # swaps weights for validation, scripts/train.py:88-120)
     params = state.ema_params if state.ema_params is not None else state.gen_params
-    for x in val_loader.epoch(0):
+    for b, x in enumerate(val_loader.epoch(0)):
+        if max_batches is not None and b >= max_batches:
+            break
         loss, mean, y = val_step(params, state.model_state, jnp.asarray(x), rng)
         losses.append(float(loss))
         latents.append(np.asarray(mean))
-        if len(audios) < 2:
+        if n_clips < 8:
             audios.append((x, np.asarray(y)))
-        n += 1
-        if n >= 8:
-            break
+            n_clips += x.shape[0]
     if not losses:
         return None, None, None
     val = float(np.mean(losses))
@@ -291,7 +309,7 @@ def run_validation(cfg, state, val_loader, val_step, logger, step, eval_number, 
             axis=0,
         )
         logger.log_audio(
-            "audio_val", xy[:4, :, 0].reshape(-1), cfg.sampling_rate, eval_number
+            "audio_val", xy[:8, :, 0].reshape(-1), cfg.sampling_rate, eval_number
         )
     z = np.concatenate([l.reshape(-1, l.shape[-1]) for l in latents], 0)
     return val, z, audios

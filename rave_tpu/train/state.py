@@ -28,12 +28,14 @@ class RaveTrainState:
 
 
 def make_optimizers(cfg: RaveConfig):
+    """(gen_tx, dis_tx). The generator transform is LR-less
+    (`scale_by_adam`): the LinearLR decay must be a function of the *global*
+    step — the reference steps its scheduler once per batch including
+    discriminator batches (rave/model.py:272-274) — so the train step
+    applies `gen_lr_schedule(state.step)` itself rather than letting optax
+    count generator-only updates."""
     t = cfg.train
-    gen_tx = optax.adam(
-        learning_rate=gen_lr_schedule(t.gen_lr, t.lr_end_factor, cfg.train.phase_1_duration),
-        b1=t.adam_b1,
-        b2=t.adam_b2,
-    )
+    gen_tx = optax.scale_by_adam(b1=t.adam_b1, b2=t.adam_b2)
     dis_tx = optax.adam(learning_rate=t.dis_lr, b1=t.adam_b1, b2=t.adam_b2)
     return gen_tx, dis_tx
 

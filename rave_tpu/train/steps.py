@@ -24,7 +24,12 @@ import optax
 from rave_tpu.config import RaveConfig
 from rave_tpu.factory import build_audio_distance, build_gan_loss
 from rave_tpu.ops.dsp import mean_difference
-from rave_tpu.train.schedules import beta_factor, quantize_enabled, warmed_up
+from rave_tpu.train.schedules import (
+    beta_factor,
+    gen_lr_schedule,
+    quantize_enabled,
+    warmed_up,
+)
 from rave_tpu.train.state import RaveTrainState, make_optimizers
 
 
@@ -118,6 +123,9 @@ def build_train_steps(
     gen_tx, dis_tx = make_optimizers(cfg)
     t = cfg.train
     weights = dict(t.weights)
+    # LinearLR on the *global* step (reference rave/model.py:272-274 steps
+    # the scheduler every batch, discriminator batches included)
+    gen_lr = gen_lr_schedule(t.gen_lr, t.lr_end_factor, t.phase_1_duration)
 
     def losses_and_metrics(out, dis_params, x, warmed: bool, step):
         metrics = {}
@@ -201,7 +209,10 @@ def build_train_steps(
             loss_fn, has_aux=True
         )(state.gen_params)
         updates, new_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
+        lr = gen_lr(state.step)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(state.gen_params, updates)
+        metrics["gen_lr"] = lr
         model_state = {**state.model_state, **new_ms}
         ema = state.ema_params
         if ema is not None:

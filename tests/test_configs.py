@@ -39,6 +39,8 @@ CONFIGS = [
 
 # Exhaustive tail (marked slow; XLA compiles dominate on CPU CI).
 CONFIGS_SLOW = [
+    ["v2_nopqmf_small"],
+    ["v2_with_augs"],
     ["discrete_v3"],
     ["onnx"],
     ["raspberry"],

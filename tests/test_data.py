@@ -161,3 +161,128 @@ def test_augmentation_registry():
     assert len(augs) == 3
     T.add_augmentation("custom", lambda sr: T.RandomMute(0.5))
     assert len(T.get_augmentations(["custom"], 44100)) == 1
+
+
+# ---- sox compand parity (reference rave/transforms.py:114-145) ------------
+
+
+def test_compand_transfer_parsing():
+    knee, pts = T.parse_sox_transfer("6:-70,-60,-20")
+    # odd count: first value is a lone identity point; (0,0) appended
+    assert knee == 6.0
+    assert pts == [(-70.0, -70.0), (-60.0, -20.0), (0.0, 0.0)]
+    knee, pts = T.parse_sox_transfer("6:-30,-15,-10,-8,0,-5")
+    assert pts == [(-30.0, -15.0), (-10.0, -8.0), (0.0, -5.0)]
+
+
+def test_transfer_fn_exact_on_straight_segments():
+    # negligible knee -> exact piecewise-linear in the dB domain
+    tf = T.TransferFn([(-60.0, -60.0), (-20.0, -10.0), (0.0, 0.0)], knee_db=0.01)
+    def db(v):
+        return 20 * np.log10(tf(np.asarray([10 ** (v / 20)]))[0])
+    assert abs(db(-60) - (-60)) < 1e-6
+    # at a vertex the residual knee (0.01 dB wide) shifts by (m2-m1)*r/4
+    assert abs(db(-20) - (-10)) < 2e-3
+    # midpoint of segment (-60,-60)->(-20,-10): slope 1.25
+    assert abs(db(-40) - (-60 + 1.25 * 20)) < 1e-6
+    # flat below the first point (sox lsx_compandt)
+    assert abs(db(-90) - (-60)) < 1e-6
+
+
+def test_transfer_fn_soft_knee_is_c1():
+    # knee deviation at the vertex is (m2-m1)*r/4 in log units
+    import math
+    tf = T.TransferFn([(-60.0, -60.0), (-20.0, -10.0), (0.0, 0.0)], knee_db=6.0)
+    L = math.log(10) / 20
+    m1, m2, r = 1.25, 0.5, 3.0 * L
+    y = math.log(tf(np.asarray([10 ** (-20 / 20)]))[0])
+    expected = -10.0 * L + (m2 - m1) * r / 4
+    assert abs(y - expected) < 1e-9
+    # smooth: no slope jumps across the knee window
+    xs_db = np.linspace(-26, -14, 400)
+    ys = np.log(tf(10 ** (xs_db / 20)))
+    slopes = np.diff(ys) / np.diff(xs_db * L)
+    assert np.all(np.abs(np.diff(slopes)) < 0.05)
+
+
+def test_envelope_follow_fast_path_matches_loop():
+    rng = np.random.default_rng(0)
+    level = np.abs(rng.standard_normal(1000))
+    a = 1 - np.exp(-1 / 100)
+    ref = T.envelope_follow(level, a, a * 0.999999, 0.01)  # loop path
+    fast = T.envelope_follow(level, a, a, 0.01)  # lfilter path
+    np.testing.assert_allclose(ref, fast, atol=1e-5)
+
+
+def test_envelope_follow_attack_release_asymmetry():
+    level = np.concatenate([np.ones(500), np.zeros(2000)])
+    ac, rc = 1 - np.exp(-1 / 50), 1 - np.exp(-1 / 500)
+    v = T.envelope_follow(level, ac, rc, 0.0)
+    # rising edge: ~63% after 50 samples
+    assert abs(v[49] - (1 - np.exp(-50 / 50))) < 0.02
+    # falling edge: much slower (release tau = 500)
+    assert v[500 + 500] > 0.3  # one release tau after the drop
+
+
+def test_compand_instant_mode_matches_static_curve():
+    # attack/release <= 1/sr -> envelope == |x| samplewise, so the output
+    # is exactly the static transfer curve applied per sample
+    sr = 1000
+    x = (np.linspace(0.001, 0.9, 500).astype(np.float32))[:, None]
+    y = T.compand(x, sr, 0.0, 0.0, "0.01:-60,-60,0,0")
+    tf = T.TransferFn([(-60.0, -60.0), (0.0, 0.0)], 0.01)
+    np.testing.assert_allclose(
+        y[:, 0], np.clip(tf(x[:, 0]) / x[:, 0] * x[:, 0], -1, 1), rtol=1e-5
+    )
+
+
+def test_compand_is_memoryful():
+    """The envelope follower must make the gain depend on history (the old
+    static-curve stand-in failed this): right after a silence->loud step,
+    gain still reflects the quiet envelope."""
+    sr = 44100
+    x = np.concatenate(
+        [np.zeros(sr // 2), 0.5 * np.ones(sr // 2)]
+    ).astype(np.float32)[:, None]
+    # boosting curve for quiet levels: -60 -> -30
+    y = T.compand(x, sr, 0.1, 0.1, "6:-60,-30,0,0")
+    onset = sr // 2
+    g_early = y[onset + 10, 0] / 0.5
+    g_late = y[-1, 0] / 0.5
+    # early gain is the near-silence boost (clipped at 1.0 -> gain 2.0);
+    # settled gain = f(-6.02 dB) - (-6.02 dB) = +3.01 dB (curve slope 0.5)
+    assert g_early > g_late + 0.1
+    assert abs(g_late - 2 ** 0.5) < 0.02
+
+
+def test_random_compress_applies_compand():
+    rng = np.random.default_rng(3)
+    x = (0.3 * np.sin(np.linspace(0, 300, 44100))).astype(np.float32)[:, None]
+    rc = T.RandomCompress(prob=1.0, sr=44100)
+    y = rc(rng, x)
+    assert y.shape == x.shape
+    assert not np.allclose(y, x)  # gain changed
+    off = T.RandomCompress(prob=0.0, sr=44100)
+    np.testing.assert_array_equal(off(rng, x), x)
+
+
+def test_augmentation_json_and_file_specs(tmp_path):
+    augs = T.get_augmentations(
+        ['{"type":"RandomCompress","threshold":-40,"amp_range":[-60,-10],"prob":0.5}'],
+        44100,
+    )
+    assert isinstance(augs[0], T.RandomCompress)
+    assert augs[0].amp_range == (-60, -10) and augs[0].sr == 44100
+    # user augmentation file (the gin-file equivalent)
+    f = tmp_path / "my_augs.py"
+    f.write_text(
+        "add_augmentation(RandomApply(RandomGain((-3.0, 3.0)), p=0.9))\n"
+        "add_augmentation(Compress(time='0.01,0.01', lookup='6:-30,-15,0,0', sr=SR))\n"
+    )
+    augs = T.get_augmentations([str(f)], 22050)
+    assert len(augs) == 2
+    assert isinstance(augs[0], T.RandomApply)
+    assert isinstance(augs[1], T.Compress) and augs[1].sr == 22050
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        T.get_augmentations(["nope"], 44100)

@@ -65,6 +65,30 @@ def test_gen_step_runs_and_is_deterministic(setup):
     return s1, m1
 
 
+def test_gen_lr_follows_global_step(setup):
+    """LinearLR must decay over *global* steps, discriminator batches
+    included (reference rave/model.py:272-274), not generator-update
+    counts. TINY: phase_1_duration=4, gen_lr=1e-3, floor factor 0.1."""
+    cfg, state, steps, x = setup
+
+    def fresh(step):
+        cfg2 = compose(["v2"], TINY)
+        model = build_rave(cfg2, n_channels=1, train=True)
+        dis = build_discriminator(cfg2, n_channels=1)
+        s = create_train_state(cfg2, model, dis, jax.random.key(0), n_signal=8192)
+        return s.replace(step=jnp.asarray(step, jnp.int32))
+
+    _, m0 = steps["gen"](fresh(0), x, jax.random.key(1), warmed=False, quantize=False)
+    assert float(m0["gen_lr"]) == pytest.approx(1e-3)
+    # halfway through phase 1 (global step 2 of 4) — even if the optimizer
+    # itself has made zero updates so far
+    _, m2 = steps["gen"](fresh(2), x, jax.random.key(1), warmed=False, quantize=False)
+    assert float(m2["gen_lr"]) == pytest.approx(1e-3 * (1 + 0.5 * (0.1 - 1)))
+    # at/after phase-1 end: the 0.1 floor
+    _, m9 = steps["gen"](fresh(9), x, jax.random.key(1), warmed=True, quantize=False)
+    assert float(m9["gen_lr"]) == pytest.approx(1e-4)
+
+
 def test_adversarial_and_dis_steps(setup):
     cfg, state, steps, x = setup
     s, m = steps["gen"](state, x, jax.random.key(2), warmed=True, quantize=False)
