@@ -76,6 +76,7 @@ def main():
     per_iter = max(t_big - t_small, 0.0) / (iters - 1)
     per_iter = max(per_iter, t_big / (iters * 4))
     xrt = batch * n_signal / cfg.sampling_rate / per_iter
+    block_ms, budget_ms = stream_latency()
     print(
         json.dumps(
             {
@@ -83,9 +84,70 @@ def main():
                 "value": round(xrt, 1),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(xrt / 20.0, 2),
+                # second north-star metric (BASELINE.md): p50 per-block
+                # latency of the causal streaming path, one chip
+                "streaming_block_ms_p50": round(block_ms, 3),
+                "streaming_block_budget_ms": round(budget_ms, 2),
+                "streaming_realtime_headroom": round(budget_ms / block_ms, 1),
             }
         )
     )
+
+
+def stream_latency(blocks: int = 64, repeats: int = 5):
+    """p50 marginal per-block latency (ms) of causal v2 encode+decode
+    streaming steps chained through lax.scan (genuinely sequential — the
+    cache carries between steps), plus the realtime budget per block."""
+    from rave_tpu.config import compose
+    from rave_tpu.factory import build_rave
+
+    cfg = compose(["v2", "causal"])
+    model = build_rave(cfg, n_channels=1, train=False, stream_batch=1)
+    block = cfg.block_size()
+    x0 = jnp.zeros((1, block, 1), jnp.float32)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)}, x0
+    )
+    cache = variables["cache"]
+    rest = {k: v for k, v in variables.items() if k != "cache"}
+
+    def make_run(n):
+        @jax.jit
+        def run(cache, seed):
+            def body(c, i):
+                k = jax.random.fold_in(seed, i)
+                xb = jax.random.normal(k, (1, block, 1), jnp.float32) * 0.1
+                z, upd = model.apply(
+                    {**rest, "cache": c}, xb, method="step_encode",
+                    mutable=["cache"], rngs={"noise": k},
+                )
+                y, upd2 = model.apply(
+                    {**rest, "cache": upd["cache"]},
+                    z[..., : cfg.latent_size],
+                    method="step_decode", mutable=["cache"], rngs={"noise": k},
+                )
+                return upd2["cache"], jnp.sum(y)
+
+            _, ys = jax.lax.scan(body, cache, jnp.arange(n))
+            return jnp.sum(ys)
+
+        return run
+
+    run1, runN = make_run(1), make_run(blocks)
+    float(run1(cache, jax.random.key(0)))  # compile + warm
+    float(runN(cache, jax.random.key(0)))
+    samples = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        float(run1(cache, jax.random.key(r + 1)))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(runN(cache, jax.random.key(r + 100)))
+        tN = time.perf_counter() - t0
+        samples.append(max(tN - t1, 0.0) / (blocks - 1))
+    samples.sort()
+    p50 = samples[len(samples) // 2]
+    return p50 * 1000, block / cfg.sampling_rate * 1000
 
 
 if __name__ == "__main__":

@@ -34,6 +34,100 @@ from rave_tpu.factory import build_rave
 from rave_tpu.models import blocks
 
 
+def _merge_trees(a, b):
+    """Union of two nested-dict pytrees (leaves from `a` win)."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(b)
+        for k, v in a.items():
+            out[k] = _merge_trees(v, b[k]) if k in b else v
+        return out
+    return a if a is not None else b
+
+
+def full_stream_cache(model, cfg, stream_batch: int, block: int, n_channels: int):
+    """Zero-initialized streaming cache covering EVERY method's state.
+
+    Different trace paths create different cache subsets (offline __call__
+    materializes conv pads/carries; step_* adds skip/branch alignment
+    delays), so an artifact's persistent state must be the union — AOT
+    modules thread (state_in -> state_out) with a fixed pytree structure."""
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1)}
+    x = jnp.zeros((stream_batch, block, n_channels), jnp.float32)
+    frames = max(block // cfg.decimation(), 1)
+    z = jnp.zeros(
+        (stream_batch, frames, cfg.augmented_latent_size()), jnp.float32
+    )
+    cache = {}
+    for init in (
+        lambda: model.init(rngs, x),
+        lambda: model.init(rngs, x, method="step_encode"),
+        lambda: model.init(rngs, z, method="step_decode"),
+    ):
+        v = jax.eval_shape(init)
+        c = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), dict(v.get("cache", {}))
+        )
+        cache = _merge_trees(cache, c)
+    return cache
+
+
+def post_process_latent(cfg, model, latent_size: int, variables, z, rng):
+    """Raw encoder output -> user-facing latents, per latent family
+    (reference scripts/export.py:351-408). Pure and jit/AOT-safe."""
+    fam = cfg.latent.family
+    bufs = variables["buffers"]
+    if fam == "variational":
+        mean, scale = jnp.split(z, 2, axis=-1)
+        std = jax.nn.softplus(scale) + 1e-4
+        eps = jax.random.normal(rng, mean.shape, mean.dtype)
+        zs = mean + std * eps
+        zs = zs - bufs["latent_mean"]
+        zs = zs @ jnp.asarray(bufs["latent_pca"]).T
+        return zs[..., :latent_size]
+    if fam == "discrete":
+        # [B, Q, T] indices -> channels-last [B, T, Q]
+        idx = model.apply(
+            variables, z, method=lambda mdl, zz: mdl.encoder.encode_indices(zz)
+        )
+        return idx.swapaxes(1, 2).astype(jnp.float32)
+    if fam == "spherical":
+        return blocks.unit_norm_vector_to_angles(z)
+    return z  # wasserstein
+
+
+def pre_process_latent(cfg, model, full_latent_size: int, variables, z, rng):
+    """User-facing latents -> decoder input (inverse of post_process_latent
+    up to sampling noise)."""
+    fam = cfg.latent.family
+    bufs = variables["buffers"]
+    if fam == "variational":
+        pad = full_latent_size - z.shape[-1]
+        noise = jax.random.normal(rng, z.shape[:-1] + (pad,), z.dtype)
+        z = jnp.concatenate([z, noise], axis=-1)
+        z = z @ jnp.asarray(bufs["latent_pca"])
+        return z + bufs["latent_mean"]
+    if fam == "discrete":
+        idx = jnp.clip(z, 0, cfg.latent.codebook_size - 1).astype(jnp.int32)
+        # [B, T, Q] -> rvq decode expects [B, Q, T]
+        zq = model.apply(
+            variables,
+            idx.swapaxes(1, 2),
+            method=lambda mdl, ii: mdl.encoder.decode_indices(ii),
+        )
+        aug = cfg.latent.noise_augmentation
+        if aug:
+            noise = jax.random.normal(rng, zq.shape[:-1] + (aug,), zq.dtype)
+            zq = jnp.concatenate([zq, noise], axis=-1)
+        return zq
+    if fam == "spherical":
+        return blocks.angles_to_unit_norm_vector(z)
+    aug = cfg.latent.noise_augmentation
+    if aug:
+        noise = jax.random.normal(rng, z.shape[:-1] + (aug,), z.dtype)
+        z = jnp.concatenate([z, noise], axis=-1)
+    return z
+
+
 class ExportedRAVE:
     def __init__(self, path: str):
         self.path = Path(path)
@@ -55,6 +149,13 @@ class ExportedRAVE:
         )
         template = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), template
+        )
+        # the saved cache is the union across all methods' streaming state
+        # (matches export_model; see full_stream_cache)
+        template = dict(template)
+        template["cache"] = full_stream_cache(
+            self.model, self.cfg, self.stream_batch,
+            self.manifest["block_size"], self.n_channels,
         )
         raw = (self.path / "params.msgpack").read_bytes()
         self.variables = dict(flax.serialization.from_bytes(dict(template), raw))
@@ -155,57 +256,14 @@ class ExportedRAVE:
         return r
 
     def post_process_latent(self, variables, z, rng):
-        """Raw encoder output -> user-facing latents
-        (reference scripts/export.py:351-408)."""
-        fam = self.cfg.latent.family
-        bufs = variables["buffers"]
-        if fam == "variational":
-            mean, scale = jnp.split(z, 2, axis=-1)
-            std = jax.nn.softplus(scale) + 1e-4
-            eps = jax.random.normal(rng, mean.shape, mean.dtype)
-            zs = mean + std * eps
-            zs = zs - bufs["latent_mean"]
-            zs = zs @ jnp.asarray(bufs["latent_pca"]).T
-            return zs[..., : self.latent_size]
-        if fam == "discrete":
-            # [B, Q, T] indices -> channels-last [B, T, Q]
-            idx = self.model.apply(
-                variables, z, method=lambda mdl, zz: mdl.encoder.encode_indices(zz)
-            )
-            return idx.swapaxes(1, 2).astype(jnp.float32)
-        if fam == "spherical":
-            return blocks.unit_norm_vector_to_angles(z)
-        return z  # wasserstein
+        return post_process_latent(
+            self.cfg, self.model, self.latent_size, variables, z, rng
+        )
 
     def pre_process_latent(self, variables, z, rng):
-        fam = self.cfg.latent.family
-        bufs = variables["buffers"]
-        if fam == "variational":
-            pad = self.full_latent_size - z.shape[-1]
-            noise = jax.random.normal(rng, z.shape[:-1] + (pad,), z.dtype)
-            z = jnp.concatenate([z, noise], axis=-1)
-            z = z @ jnp.asarray(bufs["latent_pca"])
-            return z + bufs["latent_mean"]
-        if fam == "discrete":
-            idx = jnp.clip(z, 0, self.cfg.latent.codebook_size - 1).astype(jnp.int32)
-            # [B, T, Q] -> rvq decode expects [B, Q, T]
-            zq = self.model.apply(
-                variables,
-                idx.swapaxes(1, 2),
-                method=lambda mdl, ii: mdl.encoder.decode_indices(ii),
-            )
-            aug = self.cfg.latent.noise_augmentation
-            if aug:
-                noise = jax.random.normal(rng, zq.shape[:-1] + (aug,), zq.dtype)
-                zq = jnp.concatenate([zq, noise], axis=-1)
-            return zq
-        if fam == "spherical":
-            return blocks.angles_to_unit_norm_vector(z)
-        aug = self.cfg.latent.noise_augmentation
-        if aug:
-            noise = jax.random.normal(rng, z.shape[:-1] + (aug,), z.dtype)
-            z = jnp.concatenate([z, noise], axis=-1)
-        return z
+        return pre_process_latent(
+            self.cfg, self.model, self.full_latent_size, variables, z, rng
+        )
 
     def _get_jitted(self, what: str, streaming: bool):
         """One fused XLA program per (method, mode): model pass + latent

@@ -80,11 +80,11 @@ def export_model(
         cfg, n_channels=n_channels, train=False, stream_batch=stream_batch
     )
     block = cfg.block_size()
-    x = jnp.zeros((stream_batch, block, n_channels), jnp.float32)
-    variables = jax.jit(model.init)(
-        {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
-    )
-    cache = variables.get("cache", {})
+    # union of every method's streaming state, so AOT modules can thread
+    # state_in -> state_out with a fixed pytree structure
+    from rave_tpu.export.artifact import full_stream_cache
+
+    cache = full_stream_cache(model, cfg, stream_batch, block, n_channels)
 
     ratio = cfg.decimation()
     name = cfg.name + ("_streaming" if streaming else "")
@@ -102,13 +102,15 @@ def export_model(
 
         ckpt = latest_checkpoint(prior_run)
         restored = ocp.StandardCheckpointer().restore(ckpt)
+        prior_params = restored["params"]
         (out_dir / "prior.json").write_text(json.dumps(pcfg, indent=2))
         (out_dir / "prior_params.msgpack").write_bytes(
-            flax.serialization.to_bytes(restored["params"])
+            flax.serialization.to_bytes(prior_params)
         )
         manifest_prior = dict(pcfg)
     else:
         manifest_prior = None
+        prior_params = None
 
 
     manifest = {
@@ -192,24 +194,136 @@ def export_model(
     except Exception as e:  # noqa: BLE001 — smoke is best effort on CPU CI
         (out_dir / "smoke_warning.txt").write_text(repr(e))
 
-    # AOT StableHLO lowering of the streaming step functions (consumable by
-    # a C++ PJRT host without Python) — the TorchScript-artifact analog.
-    try:
-        from jax import export as jex
-
-        zc = jnp.zeros((stream_batch, block, n_channels), jnp.float32)
-
-        def enc_step(variables, xx):
-            out, upd = model.apply(
-                variables, xx, method="step_encode", mutable=["cache"],
-                rngs={"noise": jax.random.key(0)},
-            )
-            return out, upd
-
-        full_vars = {**save_vars}
-        exp = jex.export(jax.jit(enc_step))(full_vars, zc)
-        (out_dir / "encode_step.stablehlo").write_bytes(exp.serialize())
-    except Exception as e:  # noqa: BLE001 — AOT export is best-effort
-        (out_dir / "stablehlo_export_error.txt").write_text(repr(e))
+    # AOT StableHLO lowering (consumable by a C++ PJRT host without
+    # Python) — the TorchScript-artifact analog: all user-facing methods.
+    aot = _aot_lower(
+        out_dir, cfg, model, save_vars, cache,
+        latent_size=int(latent_size), stream_batch=stream_batch,
+        block=block, n_channels=n_channels,
+        prior_cfg=manifest_prior,
+        prior_params=prior_params,
+    )
+    manifest["aot"] = aot
+    (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
 
     return str(out_dir)
+
+
+def _aot_lower(
+    out_dir: Path, cfg, model, save_vars, cache, *,
+    latent_size: int, stream_batch: int, block: int, n_channels: int,
+    prior_cfg=None, prior_params=None,
+) -> dict:
+    """AOT-lower every artifact method to StableHLO via jax.export.
+
+    Contract for Python-free consumers (PJRT + manifest only): params and
+    buffers are baked into each module as constants; the streaming state
+    (conv caches + AdaIN stats when present) is an explicit first argument
+    and is returned updated — feed it back each call, starting from zeros
+    (shapes/dtypes are in the serialized signature and in the manifest).
+    The last argument is a uint32 seed deriving all sampling randomness.
+
+      encode_step(state, x[B,block,C], seed)  -> (z[B,frames,L], state')
+      decode_step(state, z[B,frames,L], seed) -> (y[B,block,C], state')
+      forward_step(state, x, seed)            -> (y, state')
+      prior_step(pcache, x1[B,1,D*R], seed)   -> (next[B,1,D*R], pcache')
+
+    The reference exposes the same surface on the TorchScript artifact
+    (scripts/export.py:156-205, 586); failures are recorded per-method in
+    the manifest (and as <name>_error.txt) rather than aborting export.
+    """
+    from jax import export as jex
+
+    from rave_tpu.export.artifact import post_process_latent, pre_process_latent
+
+    ratio = cfg.decimation()
+    frames = block // ratio
+    closed = {k: v for k, v in save_vars.items() if k not in ("cache", "adain")}
+    state0 = {"cache": cache}
+    mutable = ["cache"]
+    if "adain" in save_vars:
+        state0["adain"] = save_vars["adain"]
+        mutable.append("adain")
+    full_latent = int(cfg.augmented_latent_size())
+
+    def keys(seed):
+        return jax.random.split(jax.random.key(seed), 2)
+
+    def enc_step(state, x, seed):
+        r1, r2 = keys(seed)
+        z, upd = model.apply(
+            {**closed, **state}, x, rngs={"noise": r1},
+            method="step_encode", mutable=mutable,
+        )
+        z = post_process_latent(cfg, model, latent_size, closed, z, r2)
+        return z, {**state, **upd}
+
+    def dec_step(state, z, seed):
+        r1, r2 = keys(seed)
+        zp = pre_process_latent(cfg, model, full_latent, closed, z, r2)
+        y, upd = model.apply(
+            {**closed, **state}, zp, rngs={"noise": r1},
+            method="step_decode", mutable=mutable,
+        )
+        return y, {**state, **upd}
+
+    def fwd_step(state, x, seed):
+        z, state = enc_step(state, x, seed)
+        return dec_step(state, z, seed + jnp.uint32(0x9E3779B9))
+
+    x_ex = jnp.zeros((stream_batch, block, n_channels), jnp.float32)
+    z_ex = jnp.zeros((stream_batch, frames, latent_size), jnp.float32)
+    seed_ex = jnp.uint32(0)
+    methods = {
+        "encode_step": (enc_step, (state0, x_ex, seed_ex)),
+        "decode_step": (dec_step, (state0, z_ex, seed_ex)),
+        "forward_step": (fwd_step, (state0, x_ex, seed_ex)),
+    }
+
+    if prior_cfg is not None and prior_params is not None:
+        from rave_tpu.prior.model import Prior, sample_prediction
+
+        pr = Prior(
+            latent_size=prior_cfg["latent_size"],
+            resolution=prior_cfg["resolution"],
+            res_size=prior_cfg["res_size"],
+            skp_size=prior_cfg["skp_size"],
+            kernel_size=prior_cfg["kernel_size"],
+            cycle_size=prior_cfg["cycle_size"],
+            n_layers=prior_cfg["n_layers"],
+        )
+        dr = prior_cfg["resolution"] * prior_cfg["latent_size"]
+        p0 = jnp.zeros((1, 1, dr), jnp.float32)
+        pv = jax.eval_shape(lambda: pr.init({"params": jax.random.key(0)}, p0))
+        pcache0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), pv.get("cache", {})
+        )
+
+        def prior_step(pcache, x, seed):
+            logits, upd = pr.apply(
+                {"params": prior_params, "cache": pcache}, x,
+                method="step", mutable=["cache"],
+            )
+            nxt = sample_prediction(
+                logits, prior_cfg["latent_size"], prior_cfg["resolution"],
+                jax.random.key(seed),
+            )
+            return nxt, upd["cache"]
+
+        methods["prior_step"] = (prior_step, (pcache0, p0, seed_ex))
+
+    report = {}
+    for name, (fn, args) in methods.items():
+        try:
+            exp = jex.export(jax.jit(fn))(*args)
+            (out_dir / f"{name}.stablehlo").write_bytes(exp.serialize())
+            report[name] = {
+                "file": f"{name}.stablehlo",
+                "in_avals": [str(a) for a in exp.in_avals],
+                "out_avals": [str(a) for a in exp.out_avals],
+                "state_tree": str(jax.tree_util.tree_structure(args[0])),
+            }
+        except Exception as e:  # noqa: BLE001 — record, don't abort export
+            (out_dir / f"{name}_error.txt").write_text(repr(e))
+            report[name] = {"error": repr(e)[:500]}
+    return report

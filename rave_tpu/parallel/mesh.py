@@ -40,7 +40,40 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 
 def local_batch_to_global(mesh: Mesh, local: np.ndarray) -> jax.Array:
     """Multi-host entry: assemble a globally-sharded batch from each
-    host's local shard."""
+    host's local shard. Device order in the mesh is process-major, so
+    host i contributes rows [i*B_local, (i+1)*B_local) of the global
+    batch."""
     sharding = NamedSharding(mesh, P("data"))
     global_shape = (local.shape[0] * jax.process_count(),) + local.shape[1:]
     return jax.make_array_from_process_local_data(sharding, local, global_shape)
+
+
+def put_batch(mesh: Mesh, x) -> jax.Array:
+    """Host batch -> device batch sharded on 'data'. Single-process: an
+    async device_put; multi-process: global-batch assembly across hosts
+    (each host loads its own shard of the sample indices,
+    rave_tpu/data/loader.py)."""
+    if jax.process_count() > 1:
+        return local_batch_to_global(mesh, np.asarray(x, np.float32))
+    return shard_batch(mesh, x)
+
+
+def all_processes_min(value: int) -> int:
+    """Smallest `value` across hosts (e.g. common per-host batch count so
+    collective-bearing loops stay in lockstep). Single-process: identity."""
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+
+    vals = multihost_utils.process_allgather(np.asarray([value]))
+    return int(np.min(vals))
+
+
+def gather_to_hosts(x: jax.Array) -> np.ndarray:
+    """Fetch a (possibly cross-host sharded) array to every host as numpy.
+    Single-process: plain device_get."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -23,7 +23,13 @@ from rave_tpu.data.dataset import get_dataset, split_dataset
 from rave_tpu.data.loader import Loader
 from rave_tpu.data.store import get_training_channels
 from rave_tpu.factory import build_audio_distance, build_discriminator, build_rave
-from rave_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+from rave_tpu.parallel.mesh import (
+    all_processes_min,
+    data_mesh,
+    gather_to_hosts,
+    put_batch,
+    replicate,
+)
 from rave_tpu.train.analysis import pca, receptive_field
 from rave_tpu.train.state import create_train_state
 from rave_tpu.train.steps import build_train_steps, pick_phase
@@ -31,12 +37,22 @@ from rave_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from rave_tpu.utils.logging import MetricsLogger
 
 
-def make_run_dir(root: str, name: str, cfg: RaveConfig) -> Path:
+def make_run_dir(root: str, name: str, cfg: RaveConfig, write: bool = True) -> Path:
     run_name = f"{name}_{config_lib.config_hash(cfg)}"
     run_dir = Path(root) / run_name
     run_dir.mkdir(parents=True, exist_ok=True)
-    (run_dir / "config.json").write_text(config_lib.snapshot(cfg))
+    if write:  # host 0 only under multi-host (identical content anyway)
+        (run_dir / "config.json").write_text(config_lib.snapshot(cfg))
     return run_dir
+
+
+class _NullLogger:
+    """No-op MetricsLogger for non-zero hosts."""
+
+    def log(self, *a, **k):
+        pass
+
+    log_text = log_audio = update_status = log
 
 
 def train(
@@ -55,10 +71,14 @@ def train(
     trace_steps: int = 0,
 ):
     jax.devices()  # initialize the TPU backend before anything imports torch
+    is_main = jax.process_index() == 0
+    progress = progress and is_main
     channels = get_training_channels(db_path, n_channels)
     cfg.data.n_channels = channels  # recorded in the config snapshot
-    run_dir = make_run_dir(out_path, name, cfg)
-    logger = MetricsLogger(str(run_dir))
+    run_dir = make_run_dir(out_path, name, cfg, write=is_main)
+    # host 0 owns the metrics/checkpoint side channels; other hosts log to
+    # JSONL only (multi-host runs usually share run_dir over NFS)
+    logger = MetricsLogger(str(run_dir)) if is_main else _NullLogger()
 
     dataset = get_dataset(
         db_path,
@@ -185,12 +205,14 @@ def train(
 
     def device_prefetch(it, depth: int = 2):
         """Overlap host->device transfer with the running step
-        (device_put is async; the deque keeps `depth` batches in flight)."""
+        (device_put is async; the deque keeps `depth` batches in flight).
+        Under multi-process DP each host contributes its local shard to a
+        globally-sharded batch (parallel/mesh.py put_batch)."""
         import collections
 
         q = collections.deque()
         for x in it:
-            q.append(shard_batch(mesh, x))
+            q.append(put_batch(mesh, x))
             if len(q) >= depth:
                 yield q.popleft()
         while q:
@@ -239,7 +261,7 @@ def train(
         if step % val_every == 0 or step == max_steps:
             val_loss, latents, audio = run_validation(
                 cfg, state, val_loader, val_step, logger, step, eval_number,
-                warmed, max_batches=2 if smoke_test else None,
+                warmed, max_batches=2 if smoke_test else None, mesh=mesh,
             )
             eval_number += 1
             # update PCA buffers BEFORE any same-step checkpoint save, so
@@ -259,46 +281,64 @@ def train(
                 for p in (0.8, 0.9, 0.95, 0.99):
                     logger.log(step, {f"fidelity_{p}": float(np.argmax(fid > p))})
             if val_loss is not None and val_loss <= best_val:
+                # val_loss is computed on the global batch, so every host
+                # reaches the same decision; host 0 writes
                 best_val = val_loss
-                save_checkpoint(str(run_dir), step, jax.device_get(state))
+                if is_main:
+                    save_checkpoint(str(run_dir), step, jax.device_get(state))
                 saved_at = step
         # periodic snapshots run on their own cadence, independent of
         # val_every (reference step-period ModelCheckpoint, rave/core.py:538-549)
         if save_every and step % save_every == 0 and saved_at != step:
-            save_checkpoint(str(run_dir), step, jax.device_get(state))
+            if is_main:
+                save_checkpoint(str(run_dir), step, jax.device_get(state))
             saved_at = step
 
     if tracing:  # window outlived the run — still flush the trace
         jax.profiler.stop_trace()
         if progress:
             print(f"profiler trace written to {run_dir}/trace")
-    if saved_at != step:
+    if saved_at != step and is_main:
         save_checkpoint(str(run_dir), step, jax.device_get(state))
     return str(run_dir)
 
 
 def run_validation(
     cfg, state, val_loader, val_step, logger, step, eval_number, warmed,
-    max_batches: Optional[int] = None,
+    max_batches: Optional[int] = None, mesh=None,
 ):
     """Full validation epoch (reference rave/model.py:426-495 validates every
     val batch and logs 8 audio clips). `max_batches` exists only for smoke
-    runs; production uses the whole val split."""
+    runs; production uses the whole val split.
+
+    Multi-process: hosts iterate the same number of batches (their per-host
+    shards combined into global batches), so the jitted val step's
+    collectives stay in lockstep and the returned loss is identical on
+    every host (consistent best-val decisions)."""
     losses, latents, audios = [], [], []
     rng = jax.random.key(1234)
     n_clips = 0
+    multiprocess = jax.process_count() > 1
+    if multiprocess:
+        # full batches only: global assembly needs equal-sized local shards
+        n_common = all_processes_min(len(val_loader.indices) // val_loader.batch)
+    else:
+        n_common = len(val_loader)
+    if max_batches is not None:
+        n_common = min(n_common, max_batches)
     # validate with the EMA shadow when enabled (reference EMA callback
     # swaps weights for validation, scripts/train.py:88-120)
     params = state.ema_params if state.ema_params is not None else state.gen_params
     for b, x in enumerate(val_loader.epoch(0)):
-        if max_batches is not None and b >= max_batches:
+        if b >= n_common:
             break
-        loss, mean, y = val_step(params, state.model_state, jnp.asarray(x), rng)
+        xb = put_batch(mesh, x) if multiprocess else jnp.asarray(x)
+        loss, mean, y = val_step(params, state.model_state, xb, rng)
         losses.append(float(loss))
-        latents.append(np.asarray(mean))
+        latents.append(gather_to_hosts(mean))
         if n_clips < 8:
-            audios.append((x, np.asarray(y)))
-            n_clips += x.shape[0]
+            audios.append((gather_to_hosts(xb), gather_to_hosts(y)))
+            n_clips += audios[-1][0].shape[0]
     if not losses:
         return None, None, None
     val = float(np.mean(losses))
