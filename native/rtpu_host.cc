@@ -1,0 +1,723 @@
+// rtpu_host — a Python-free C++ consumer of .rtpu artifacts.
+//
+// This is the framework's analog of the reference's C++ deployment hosts
+// (nn~ for Max/PD and the RAVE VST consume the TorchScript artifact,
+// reference scripts/export.py:586 + nn_tilde). It drives the AOT-lowered
+// StableHLO streaming step functions (see rave_tpu/export/export.py,
+// _aot_lower) through the PJRT C++ API with the XLA:CPU backend linked
+// from libtensorflow_cc — no Python, no JAX runtime, only the artifact
+// directory: manifest.json + <method>.mlir.
+//
+// Usage:
+//   rtpu_host <model.rtpu> info
+//   rtpu_host <model.rtpu> forward <in.wav> <out.wav> [seed_base]
+//   rtpu_host <model.rtpu> encode  <in.wav> <latents.f32> [seed_base]
+//   rtpu_host <model.rtpu> decode  <latents.f32> <out.wav> [seed_base]
+//
+// Latent files are raw little-endian float32, [n_frames, latent_size]
+// row-major (the shape is printed and recoverable from the manifest).
+// The per-block seed is seed_base + block_index; the Python test replays
+// the same schedule through the same modules to verify equivalence.
+//
+// Streaming state stays resident on the PJRT device between blocks: the
+// state outputs of call N are passed as the state inputs of call N+1
+// without any host round trip (manifest aot.<method>.state_inputs /
+// state_outputs give the flat indices; zeros initialize).
+
+#include <dlfcn.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include "xla/hlo/builder/xla_computation.h"
+#include "xla/pjrt/c/pjrt_c_api.h"
+#include "xla/pjrt/pjrt_client.h"
+#include "xla/pjrt/pjrt_executable.h"
+#include "xla/pjrt/plugin/xla_cpu/xla_cpu_pjrt_client.h"
+
+namespace xla {
+// Declared in xla/pjrt/mlir_to_hlo.h and xla/pjrt/c_api_client/
+// pjrt_c_api_client.h; re-declared here so we don't need the MLIR/LLVM
+// header tree (the symbols are exported by libtensorflow_cc.so.2).
+absl::Status ParseMlirModuleStringAndConvertToXlaComputation(
+    absl::string_view mlir_module_str, XlaComputation& xla_computation,
+    bool use_tuple_args, bool return_tuple);
+class KeyValueStoreInterface;
+absl::StatusOr<std::unique_ptr<PjRtClient>> WrapClientAroundCApi(
+    const PJRT_Api* c_api,
+    const absl::flat_hash_map<std::string, PjRtValueType>& create_options,
+    std::shared_ptr<KeyValueStoreInterface> kv_store);
+}  // namespace xla
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Minimal JSON parser — enough for machine-generated manifest.json.
+// ---------------------------------------------------------------------------
+struct Json {
+  enum Kind { kNull, kBool, kNum, kStr, kArr, kObj } kind = kNull;
+  bool b = false;
+  double num = 0;
+  std::string str;
+  std::vector<Json> arr;
+  std::map<std::string, Json> obj;
+
+  const Json& at(const std::string& k) const {
+    static const Json null;
+    auto it = obj.find(k);
+    return it == obj.end() ? null : it->second;
+  }
+  bool has(const std::string& k) const { return obj.count(k) > 0; }
+  int64_t i64() const { return static_cast<int64_t>(num); }
+};
+
+class JsonParser {
+ public:
+  explicit JsonParser(const std::string& s) : s_(s) {}
+  Json Parse() {
+    Json v = Value();
+    Ws();
+    if (p_ != s_.size()) Fail("trailing data");
+    return v;
+  }
+
+ private:
+  const std::string& s_;
+  size_t p_ = 0;
+
+  [[noreturn]] void Fail(const char* what) {
+    fprintf(stderr, "manifest.json parse error at byte %zu: %s\n", p_, what);
+    exit(1);
+  }
+  void Ws() {
+    while (p_ < s_.size() && (s_[p_] == ' ' || s_[p_] == '\n' ||
+                              s_[p_] == '\t' || s_[p_] == '\r'))
+      p_++;
+  }
+  char Peek() {
+    if (p_ >= s_.size()) Fail("eof");
+    return s_[p_];
+  }
+  void Expect(char c) {
+    if (Peek() != c) Fail("unexpected char");
+    p_++;
+  }
+  Json Value() {
+    Ws();
+    char c = Peek();
+    if (c == '{') return Obj();
+    if (c == '[') return Arr();
+    if (c == '"') {
+      Json v;
+      v.kind = Json::kStr;
+      v.str = Str();
+      return v;
+    }
+    if (c == 't' || c == 'f') {
+      Json v;
+      v.kind = Json::kBool;
+      v.b = (c == 't');
+      p_ += v.b ? 4 : 5;
+      return v;
+    }
+    if (c == 'n') {
+      p_ += 4;
+      return Json();
+    }
+    return Num();
+  }
+  std::string Str() {
+    Expect('"');
+    std::string out;
+    while (Peek() != '"') {
+      char c = s_[p_++];
+      if (c == '\\') {
+        char e = s_[p_++];
+        switch (e) {
+          case 'n': out += '\n'; break;
+          case 't': out += '\t'; break;
+          case 'r': out += '\r'; break;
+          case 'b': out += '\b'; break;
+          case 'f': out += '\f'; break;
+          case 'u': {
+            // manifest strings are ASCII in practice; decode BMP as UTF-8
+            unsigned code = 0;
+            for (int i = 0; i < 4; i++) {
+              char h = s_[p_++];
+              code = code * 16 + (h <= '9' ? h - '0' : (h | 32) - 'a' + 10);
+            }
+            if (code < 0x80) {
+              out += static_cast<char>(code);
+            } else if (code < 0x800) {
+              out += static_cast<char>(0xC0 | (code >> 6));
+              out += static_cast<char>(0x80 | (code & 0x3F));
+            } else {
+              out += static_cast<char>(0xE0 | (code >> 12));
+              out += static_cast<char>(0x80 | ((code >> 6) & 0x3F));
+              out += static_cast<char>(0x80 | (code & 0x3F));
+            }
+            break;
+          }
+          default: out += e;
+        }
+      } else {
+        out += c;
+      }
+    }
+    p_++;
+    return out;
+  }
+  Json Num() {
+    size_t start = p_;
+    while (p_ < s_.size() && (isdigit(s_[p_]) || s_[p_] == '-' ||
+                              s_[p_] == '+' || s_[p_] == '.' ||
+                              s_[p_] == 'e' || s_[p_] == 'E'))
+      p_++;
+    Json v;
+    v.kind = Json::kNum;
+    v.num = atof(s_.substr(start, p_ - start).c_str());
+    return v;
+  }
+  Json Arr() {
+    Expect('[');
+    Json v;
+    v.kind = Json::kArr;
+    Ws();
+    if (Peek() == ']') {
+      p_++;
+      return v;
+    }
+    while (true) {
+      v.arr.push_back(Value());
+      Ws();
+      if (Peek() == ',') {
+        p_++;
+        continue;
+      }
+      Expect(']');
+      return v;
+    }
+  }
+  Json Obj() {
+    Expect('{');
+    Json v;
+    v.kind = Json::kObj;
+    Ws();
+    if (Peek() == '}') {
+      p_++;
+      return v;
+    }
+    while (true) {
+      Ws();
+      std::string k = Str();
+      Ws();
+      Expect(':');
+      v.obj[k] = Value();
+      Ws();
+      if (Peek() == ',') {
+        p_++;
+        continue;
+      }
+      Expect('}');
+      return v;
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// WAV I/O — PCM16 and IEEE float32, interleaved.
+// ---------------------------------------------------------------------------
+struct Wav {
+  int sample_rate = 0;
+  int channels = 0;
+  std::vector<float> frames;  // interleaved [T, C]
+  int64_t n_frames() const { return channels ? frames.size() / channels : 0; }
+};
+
+bool ReadWav(const std::string& path, Wav* out) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return false;
+  char riff[4], wave[4];
+  uint32_t riff_size;
+  f.read(riff, 4);
+  f.read(reinterpret_cast<char*>(&riff_size), 4);
+  f.read(wave, 4);
+  if (memcmp(riff, "RIFF", 4) || memcmp(wave, "WAVE", 4)) return false;
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint32_t rate = 0;
+  while (f) {
+    char id[4];
+    uint32_t size;
+    f.read(id, 4);
+    f.read(reinterpret_cast<char*>(&size), 4);
+    if (!f) break;
+    if (!memcmp(id, "fmt ", 4)) {
+      std::vector<char> buf(size);
+      f.read(buf.data(), size);
+      fmt = *reinterpret_cast<uint16_t*>(&buf[0]);
+      channels = *reinterpret_cast<uint16_t*>(&buf[2]);
+      rate = *reinterpret_cast<uint32_t*>(&buf[4]);
+      bits = *reinterpret_cast<uint16_t*>(&buf[14]);
+      if (fmt == 0xFFFE && size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
+        fmt = *reinterpret_cast<uint16_t*>(&buf[24]);
+      }
+    } else if (!memcmp(id, "data", 4)) {
+      std::vector<char> buf(size);
+      f.read(buf.data(), size);
+      out->sample_rate = rate;
+      out->channels = channels;
+      if (fmt == 1 && bits == 16) {
+        const int16_t* p = reinterpret_cast<const int16_t*>(buf.data());
+        size_t n = size / 2;
+        out->frames.resize(n);
+        for (size_t i = 0; i < n; i++) out->frames[i] = p[i] / 32768.f;
+      } else if (fmt == 3 && bits == 32) {
+        const float* p = reinterpret_cast<const float*>(buf.data());
+        out->frames.assign(p, p + size / 4);
+      } else {
+        fprintf(stderr, "unsupported wav: fmt=%d bits=%d\n", fmt, bits);
+        return false;
+      }
+      return channels > 0;
+    } else {
+      f.seekg(size + (size & 1), std::ios::cur);
+    }
+  }
+  return false;
+}
+
+bool WriteWav(const std::string& path, const Wav& w) {
+  std::ofstream f(path, std::ios::binary);
+  if (!f) return false;
+  uint32_t data_size = static_cast<uint32_t>(w.frames.size() * 2);
+  uint32_t riff_size = 36 + data_size;
+  uint16_t fmt = 1, bits = 16, ch = static_cast<uint16_t>(w.channels);
+  uint32_t rate = w.sample_rate, byte_rate = rate * ch * 2;
+  uint16_t block_align = ch * 2;
+  uint32_t fmt_size = 16;
+  f.write("RIFF", 4);
+  f.write(reinterpret_cast<char*>(&riff_size), 4);
+  f.write("WAVE", 4);
+  f.write("fmt ", 4);
+  f.write(reinterpret_cast<char*>(&fmt_size), 4);
+  f.write(reinterpret_cast<char*>(&fmt), 2);
+  f.write(reinterpret_cast<char*>(&ch), 2);
+  f.write(reinterpret_cast<char*>(&rate), 4);
+  f.write(reinterpret_cast<char*>(&byte_rate), 4);
+  f.write(reinterpret_cast<char*>(&block_align), 2);
+  f.write(reinterpret_cast<char*>(&bits), 2);
+  f.write("data", 4);
+  f.write(reinterpret_cast<char*>(&data_size), 4);
+  for (float x : w.frames) {
+    float c = x < -1.f ? -1.f : (x > 1.f ? 1.f : x);
+    int16_t q = static_cast<int16_t>(c * 32767.f);
+    f.write(reinterpret_cast<char*>(&q), 2);
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// PJRT streaming runner
+// ---------------------------------------------------------------------------
+std::string ReadFile(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) {
+    fprintf(stderr, "cannot read %s\n", path.c_str());
+    exit(1);
+  }
+  return std::string((std::istreambuf_iterator<char>(f)),
+                     std::istreambuf_iterator<char>());
+}
+
+xla::PrimitiveType DtypeToXla(const std::string& d) {
+  if (d == "float32") return xla::F32;
+  if (d == "uint32") return xla::U32;
+  if (d == "int32") return xla::S32;
+  if (d == "bfloat16") return xla::BF16;
+  if (d == "float16") return xla::F16;
+  if (d == "bool") return xla::PRED;
+  if (d == "int64") return xla::S64;
+  if (d == "uint64") return xla::U64;
+  fprintf(stderr, "unsupported dtype %s\n", d.c_str());
+  exit(1);
+}
+
+int64_t DtypeBytes(const std::string& d) {
+  if (d == "bfloat16" || d == "float16") return 2;
+  if (d == "bool") return 1;
+  if (d == "int64" || d == "uint64") return 8;
+  return 4;
+}
+
+struct TensorSpec {
+  std::vector<int64_t> shape;
+  std::string dtype;
+  int64_t elems() const {
+    int64_t n = 1;
+    for (auto d : shape) n *= d;
+    return n;
+  }
+  int64_t bytes() const { return elems() * DtypeBytes(dtype); }
+};
+
+std::vector<TensorSpec> ParseSpecs(const Json& list) {
+  std::vector<TensorSpec> out;
+  for (const auto& t : list.arr) {
+    TensorSpec s;
+    s.dtype = t.at("dtype").str;
+    for (const auto& d : t.at("shape").arr) s.shape.push_back(d.i64());
+    out.push_back(std::move(s));
+  }
+  return out;
+}
+
+#define CHECK_OK(expr)                                            \
+  do {                                                            \
+    auto _st = (expr);                                            \
+    if (!_st.ok()) {                                              \
+      fprintf(stderr, "%s\n", _st.ToString().c_str());            \
+      exit(1);                                                    \
+    }                                                             \
+  } while (0)
+
+template <typename T>
+T ValueOrDie(absl::StatusOr<T> v, const char* what) {
+  if (!v.ok()) {
+    fprintf(stderr, "%s: %s\n", what, v.status().ToString().c_str());
+    exit(1);
+  }
+  return std::move(v).value();
+}
+
+// A loaded AOT method: compiled executable + flat I/O specs + state mapping.
+struct Method {
+  std::unique_ptr<xla::PjRtLoadedExecutable> exe;
+  std::vector<TensorSpec> inputs, outputs;
+  int64_t n_state = 0;
+  // streaming state buffers, resident on device between calls
+  std::vector<std::unique_ptr<xla::PjRtBuffer>> state;
+};
+
+class RtpuHost {
+ public:
+  // plugin_path empty -> in-process XLA:CPU. Otherwise dlopen a PJRT
+  // C-API plugin (e.g. libtpu.so) and wrap it; plugin_opts are the
+  // plugin's PJRT_Client_Create named options.
+  RtpuHost(const std::string& artifact_dir, const std::string& plugin_path,
+           const absl::flat_hash_map<std::string, xla::PjRtValueType>&
+               plugin_opts)
+      : dir_(artifact_dir) {
+    manifest_ = JsonParser(ReadFile(dir_ + "/manifest.json")).Parse();
+    if (plugin_path.empty()) {
+      xla::CpuClientOptions opts;
+      opts.cpu_device_count = 1;
+      client_ =
+          ValueOrDie(xla::GetXlaPjrtCpuClient(std::move(opts)), "client");
+    } else {
+      void* lib = dlopen(plugin_path.c_str(), RTLD_NOW | RTLD_LOCAL);
+      if (!lib) {
+        fprintf(stderr, "dlopen %s: %s\n", plugin_path.c_str(), dlerror());
+        exit(1);
+      }
+      auto get_api =
+          reinterpret_cast<const PJRT_Api* (*)()>(dlsym(lib, "GetPjrtApi"));
+      if (!get_api) {
+        fprintf(stderr, "%s has no GetPjrtApi\n", plugin_path.c_str());
+        exit(1);
+      }
+      client_ = ValueOrDie(
+          xla::WrapClientAroundCApi(get_api(), plugin_opts, nullptr),
+          "plugin client");
+      fprintf(stderr, "pjrt plugin: platform=%s devices=%d\n",
+              std::string(client_->platform_name()).c_str(),
+              client_->device_count());
+    }
+    mem_ = ValueOrDie(client_->devices()[0]->default_memory_space(), "memory");
+  }
+
+  const Json& manifest() const { return manifest_; }
+
+  Method& Load(const std::string& name) {
+    auto it = methods_.find(name);
+    if (it != methods_.end()) return it->second;
+    const Json& aot = manifest_.at("aot").at(name);
+    if (!aot.has("mlir_file")) {
+      fprintf(stderr,
+              "artifact has no AOT module for %s (re-export with a "
+              "framework version that writes <method>.mlir)\n",
+              name.c_str());
+      exit(1);
+    }
+    if (aot.has("kept_inputs") &&
+        aot.at("kept_inputs").arr.size() != aot.at("inputs").arr.size()) {
+      fprintf(stderr,
+              "%s: the lowered module dropped unused inputs "
+              "(kept %zu of %zu) — positional marshaling unsupported\n",
+              name.c_str(), aot.at("kept_inputs").arr.size(),
+              aot.at("inputs").arr.size());
+      exit(1);
+    }
+    std::string bytecode = ReadFile(dir_ + "/" + aot.at("mlir_file").str);
+    xla::XlaComputation comp;
+    CHECK_OK(xla::ParseMlirModuleStringAndConvertToXlaComputation(
+        bytecode, comp, /*use_tuple_args=*/false, /*return_tuple=*/false));
+    xla::CompileOptions copts;
+    Method m;
+    m.exe = ValueOrDie(client_->CompileAndLoad(comp, copts), "compile");
+    m.inputs = ParseSpecs(aot.at("inputs"));
+    m.outputs = ParseSpecs(aot.at("outputs"));
+    m.n_state = aot.at("n_state").i64();
+    // zero-initialized streaming state
+    for (int64_t i = 0; i < m.n_state; i++) {
+      const TensorSpec& s = m.inputs[i];
+      std::vector<char> zeros(s.bytes(), 0);
+      m.state.push_back(Upload(zeros.data(), s));
+    }
+    return methods_.emplace(name, std::move(m)).first->second;
+  }
+
+  std::unique_ptr<xla::PjRtBuffer> Upload(const void* data,
+                                          const TensorSpec& spec) {
+    return ValueOrDie(
+        client_->BufferFromHostBuffer(
+            data, DtypeToXla(spec.dtype), spec.shape, std::nullopt,
+            xla::PjRtClient::HostBufferSemantics::kImmutableOnlyDuringCall,
+            nullptr, mem_, /*device_layout=*/nullptr),
+        "h2d");
+  }
+
+  // One streaming step: feeds (state..., x, seed), returns the primary
+  // outputs on the host and retains the updated state on device.
+  std::vector<std::vector<char>> Step(Method& m,
+                                      const std::vector<const void*>& xs,
+                                      uint32_t seed) {
+    std::vector<std::unique_ptr<xla::PjRtBuffer>> owned;
+    std::vector<xla::PjRtBuffer*> args;
+    for (auto& s : m.state) args.push_back(s.get());
+    size_t xi = 0;
+    for (size_t i = m.n_state; i + 1 < m.inputs.size(); i++) {
+      owned.push_back(Upload(xs[xi++], m.inputs[i]));
+      args.push_back(owned.back().get());
+    }
+    TensorSpec seed_spec = m.inputs.back();
+    owned.push_back(Upload(&seed, seed_spec));
+    args.push_back(owned.back().get());
+
+    std::vector<std::vector<xla::PjRtBuffer*>> all_args = {args};
+    xla::ExecuteOptions eopts;
+    auto all_outs = ValueOrDie(m.exe->Execute(absl::MakeSpan(all_args), eopts),
+                               "execute");
+    std::vector<std::unique_ptr<xla::PjRtBuffer>> outs =
+        std::move(all_outs[0]);
+    int64_t n_primary = static_cast<int64_t>(m.outputs.size()) - m.n_state;
+    std::vector<std::vector<char>> primary;
+    for (int64_t i = 0; i < n_primary; i++) {
+      // ToLiteralSync (PJRT_Buffer_ToHostBuffer) rather than
+      // CopyRawToHost: C-API plugins (libtpu/axon) don't implement the
+      // raw path
+      auto lit = ValueOrDie(outs[i]->ToLiteralSync(), "d2h");
+      std::vector<char> host(m.outputs[i].bytes());
+      if (static_cast<int64_t>(lit->size_bytes()) != m.outputs[i].bytes()) {
+        fprintf(stderr, "output %lld: literal %zu bytes, expected %lld\n",
+                static_cast<long long>(i), lit->size_bytes(),
+                static_cast<long long>(m.outputs[i].bytes()));
+        exit(1);
+      }
+      memcpy(host.data(), lit->untyped_data(), host.size());
+      primary.push_back(std::move(host));
+    }
+    // updated state stays on device for the next call
+    for (int64_t i = 0; i < m.n_state; i++)
+      m.state[i] = std::move(outs[n_primary + i]);
+    return primary;
+  }
+
+ private:
+  std::string dir_;
+  Json manifest_;
+  std::unique_ptr<xla::PjRtClient> client_;
+  xla::PjRtMemorySpace* mem_;
+  std::map<std::string, Method> methods_;
+};
+
+std::vector<float> AsFloats(const std::vector<char>& raw) {
+  std::vector<float> out(raw.size() / 4);
+  memcpy(out.data(), raw.data(), raw.size());
+  return out;
+}
+
+int Fail(const char* msg) {
+  fprintf(stderr, "%s\n", msg);
+  return 1;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  // leading options: --plugin <pjrt_plugin.so> [--opt key=value ...]
+  std::string plugin;
+  absl::flat_hash_map<std::string, xla::PjRtValueType> plugin_opts;
+  std::vector<char*> pos;
+  for (int i = 1; i < argc; i++) {
+    std::string a = argv[i];
+    if (a == "--plugin" && i + 1 < argc) {
+      plugin = argv[++i];
+    } else if (a == "--opt" && i + 1 < argc) {
+      std::string kv = argv[++i];
+      size_t eq = kv.find('=');
+      if (eq == std::string::npos) return Fail("--opt expects key=value");
+      std::string k = kv.substr(0, eq), v = kv.substr(eq + 1);
+      char* end = nullptr;
+      long long n = strtoll(v.c_str(), &end, 10);
+      if (end && *end == '\0' && !v.empty())
+        plugin_opts[k] = static_cast<int64_t>(n);
+      else if (v == "true" || v == "false")
+        plugin_opts[k] = (v == "true");
+      else
+        plugin_opts[k] = v;
+    } else {
+      pos.push_back(argv[i]);
+    }
+  }
+  argc = static_cast<int>(pos.size()) + 1;
+  std::vector<char*> rebased = {argv[0]};
+  rebased.insert(rebased.end(), pos.begin(), pos.end());
+  argv = rebased.data();
+  if (argc < 3) {
+    fprintf(stderr,
+            "usage: rtpu_host [--plugin pjrt.so [--opt k=v ...]] "
+            "<model.rtpu> <command>\n"
+            "commands:\n"
+            "  info\n"
+            "  forward <in.wav> <out.wav> [seed]\n"
+            "  encode <in.wav> <latents.f32> [seed]\n"
+            "  decode <latents.f32> <out.wav> [seed]\n");
+    return 1;
+  }
+  std::string dir = argv[1], cmd = argv[2];
+  RtpuHost host(dir, plugin, plugin_opts);
+  const Json& man = host.manifest();
+  int64_t block = man.at("block_size").i64();
+  int64_t sr = man.at("sampling_rate").i64();
+  int64_t n_channels = man.at("n_channels").i64();
+  int64_t latent = man.at("latent_size").i64();
+  int64_t stream_batch = man.at("stream_batch").i64();
+  int64_t frames_per_block =
+      static_cast<int64_t>(block / (sr / man.at("latent_rate_hz").num) + 0.5);
+
+  if (cmd == "info") {
+    printf("name: %s\n", man.at("name").str.c_str());
+    printf("sampling_rate: %lld\n", static_cast<long long>(sr));
+    printf("block_size: %lld\n", static_cast<long long>(block));
+    printf("n_channels: %lld\n", static_cast<long long>(n_channels));
+    printf("latent_size: %lld\n", static_cast<long long>(latent));
+    printf("latent_family: %s\n", man.at("latent_family").str.c_str());
+    printf("frames_per_block: %lld\n",
+           static_cast<long long>(frames_per_block));
+    printf("total_latency_samples: %lld\n",
+           static_cast<long long>(man.at("latency").at("total_samples").i64()));
+    const Json& aot = man.at("aot");
+    for (const auto& kv : aot.obj)
+      printf("aot_method: %s%s\n", kv.first.c_str(),
+             kv.second.has("mlir_file") ? "" : " (unavailable)");
+    return 0;
+  }
+
+  if (stream_batch != 1)
+    return Fail("this host streams stream_batch=1 artifacts (mono/multi-"
+                "channel signal batch 1); stereo-batched artifacts need a "
+                "batch-2 driver");
+  if (argc < 5) return Fail("missing input/output paths");
+  std::string in_path = argv[3], out_path = argv[4];
+  uint32_t seed_base = argc > 5 ? static_cast<uint32_t>(atoll(argv[5])) : 0;
+
+  if (cmd == "forward" || cmd == "encode") {
+    Wav wav;
+    if (!ReadWav(in_path, &wav)) return Fail("cannot read input wav");
+    if (wav.sample_rate != sr)
+      fprintf(stderr, "warning: wav rate %d != model rate %lld (no resampling)\n",
+              wav.sample_rate, static_cast<long long>(sr));
+    // channel adaptation: repeat or truncate to n_channels
+    int64_t T = wav.n_frames();
+    std::vector<float> x(static_cast<size_t>(T) * n_channels);
+    for (int64_t t = 0; t < T; t++)
+      for (int64_t c = 0; c < n_channels; c++)
+        x[t * n_channels + c] = wav.frames[t * wav.channels +
+                                           (c % wav.channels)];
+    int64_t n_blocks = (T + block - 1) / block;
+    Method& m = host.Load(cmd == "forward" ? "forward_step" : "encode_step");
+
+    std::vector<float> out;
+    std::vector<float> xblock(static_cast<size_t>(block) * n_channels);
+    for (int64_t bi = 0; bi < n_blocks; bi++) {
+      std::fill(xblock.begin(), xblock.end(), 0.f);
+      int64_t n = std::min(block, T - bi * block);
+      memcpy(xblock.data(), x.data() + bi * block * n_channels,
+             static_cast<size_t>(n) * n_channels * sizeof(float));
+      auto primary = host.Step(m, {xblock.data()},
+                               seed_base + static_cast<uint32_t>(bi));
+      auto y = AsFloats(primary[0]);
+      out.insert(out.end(), y.begin(), y.end());
+    }
+
+    if (cmd == "forward") {
+      Wav w;
+      w.sample_rate = static_cast<int>(sr);
+      w.channels = static_cast<int>(n_channels);
+      w.frames.assign(out.begin(),
+                      out.begin() + std::min<size_t>(out.size(),
+                                                     static_cast<size_t>(T) *
+                                                         n_channels));
+      if (!WriteWav(out_path, w)) return Fail("cannot write output wav");
+      printf("wrote %s: %lld frames x %lld ch @ %lld Hz\n", out_path.c_str(),
+             static_cast<long long>(w.n_frames()),
+             static_cast<long long>(n_channels), static_cast<long long>(sr));
+    } else {
+      std::ofstream f(out_path, std::ios::binary);
+      f.write(reinterpret_cast<char*>(out.data()), out.size() * 4);
+      printf("wrote %s: [%lld, %lld] float32 latents (%.2f Hz)\n",
+             out_path.c_str(), static_cast<long long>(out.size() / latent),
+             static_cast<long long>(latent), man.at("latent_rate_hz").num);
+    }
+    return 0;
+  }
+
+  if (cmd == "decode") {
+    std::string raw = ReadFile(in_path);
+    int64_t total_frames = static_cast<int64_t>(raw.size() / 4 / latent);
+    if (total_frames == 0) return Fail("latent file too small");
+    const float* z = reinterpret_cast<const float*>(raw.data());
+    Method& m = host.Load("decode_step");
+    int64_t n_blocks = (total_frames + frames_per_block - 1) / frames_per_block;
+    std::vector<float> out;
+    std::vector<float> zblock(static_cast<size_t>(frames_per_block) * latent);
+    for (int64_t bi = 0; bi < n_blocks; bi++) {
+      std::fill(zblock.begin(), zblock.end(), 0.f);
+      int64_t n = std::min(frames_per_block,
+                           total_frames - bi * frames_per_block);
+      memcpy(zblock.data(), z + bi * frames_per_block * latent,
+             static_cast<size_t>(n) * latent * sizeof(float));
+      auto primary = host.Step(m, {zblock.data()},
+                               seed_base + static_cast<uint32_t>(bi));
+      auto y = AsFloats(primary[0]);
+      out.insert(out.end(), y.begin(), y.end());
+    }
+    Wav w;
+    w.sample_rate = static_cast<int>(sr);
+    w.channels = static_cast<int>(n_channels);
+    w.frames = std::move(out);
+    if (!WriteWav(out_path, w)) return Fail("cannot write output wav");
+    printf("wrote %s: %lld frames x %lld ch @ %lld Hz\n", out_path.c_str(),
+           static_cast<long long>(w.n_frames()),
+           static_cast<long long>(n_channels), static_cast<long long>(sr));
+    return 0;
+  }
+
+  return Fail("unknown command");
+}

@@ -317,11 +317,38 @@ def _aot_lower(
         try:
             exp = jex.export(jax.jit(fn))(*args)
             (out_dir / f"{name}.stablehlo").write_bytes(exp.serialize())
+            # raw StableHLO bytecode + a flat I/O spec: everything a C++
+            # PJRT host (native/rtpu_host.cc) needs to compile and stream
+            # without Python or pytree knowledge. Inputs flatten as
+            # (state..., x, seed); outputs as (y..., state') with the state
+            # leaves in the same order on both sides (same dict structure).
+            (out_dir / f"{name}.mlir").write_bytes(exp.mlir_module_serialized)
+            n_state = len(jax.tree_util.tree_leaves(args[0]))
+            n_out = len(exp.out_avals)
             report[name] = {
                 "file": f"{name}.stablehlo",
+                "mlir_file": f"{name}.mlir",
                 "in_avals": [str(a) for a in exp.in_avals],
                 "out_avals": [str(a) for a in exp.out_avals],
                 "state_tree": str(jax.tree_util.tree_structure(args[0])),
+                "inputs": [
+                    {"shape": [int(d) for d in a.shape], "dtype": str(a.dtype)}
+                    for a in exp.in_avals
+                ],
+                "outputs": [
+                    {"shape": [int(d) for d in a.shape], "dtype": str(a.dtype)}
+                    for a in exp.out_avals
+                ],
+                # state round trip: output[state_outputs[i]] feeds back into
+                # input[state_inputs[i]] on the next call
+                "n_state": n_state,
+                "state_inputs": list(range(n_state)),
+                "state_outputs": list(range(n_out - n_state, n_out)),
+                # indices of the flat inputs the lowered module actually
+                # takes (jax.export drops args that don't affect any
+                # output; state pass-through keeps them all in practice —
+                # hosts must check before positional marshaling)
+                "kept_inputs": [int(i) for i in exp.module_kept_var_idx],
             }
         except Exception as e:  # noqa: BLE001 — record, don't abort export
             (out_dir / f"{name}_error.txt").write_text(repr(e))

@@ -1,0 +1,197 @@
+"""End-to-end test of the native C++ artifact host (native/rtpu_host.cc).
+
+Proves the full Python-free deployment story: a C++ binary with only the
+.rtpu directory (manifest.json + <method>.mlir StableHLO bytecode) and the
+PJRT C++ API streams audio block by block, matching the same AOT modules
+executed from Python via jax.export.deserialize.
+
+Marked slow: the first build of rtpu_host against the TensorFlow wheel's
+XLA headers takes several minutes on a small machine (cached afterwards).
+"""
+import json
+import subprocess
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rave_tpu import config as config_lib
+from rave_tpu.factory import build_discriminator, build_rave
+from rave_tpu.train.state import create_train_state
+from rave_tpu.utils.checkpoint import save_checkpoint
+
+pytestmark = pytest.mark.slow
+
+TINY = [
+    "capacity=2",
+    "discriminator.capacity=2",
+    "latent_size=4",
+    "ratios=[4,4,2]",
+    "dilations=[[1],[1],[1]]",
+]
+
+
+@pytest.fixture(scope="module")
+def host_bin():
+    from rave_tpu.export.native_host import ensure_host
+
+    path = ensure_host()
+    if path is None:
+        pytest.skip("no native toolchain or tensorflow wheel")
+    return path
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("run")
+    from rave_tpu.export.export import export_model
+
+    cfg = config_lib.compose(["v2", "causal"], TINY)
+    cfg.data.n_signal = 8192
+    model = build_rave(cfg, n_channels=1, train=True)
+    dis = build_discriminator(cfg, n_channels=1)
+    state = create_train_state(cfg, model, dis, jax.random.key(0), n_signal=8192)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    (run_dir / "config.json").write_text(config_lib.snapshot(cfg))
+    save_checkpoint(str(run_dir), 1, jax.device_get(state))
+    out = export_model(run=str(run_dir), streaming=True)
+    return Path(out)
+
+
+def _write_wav(path, x_float, sr):
+    from scipy.io import wavfile
+
+    q = np.clip(x_float, -1, 1)
+    wavfile.write(path, sr, (q * 32767).astype(np.int16))
+    # return what the host will actually see after int16 decode
+    return (q * 32767).astype(np.int16).astype(np.float32) / 32768.0
+
+
+def test_manifest_has_native_io_spec(artifact):
+    manifest = json.loads((artifact / "manifest.json").read_text())
+    for m in ("encode_step", "decode_step", "forward_step"):
+        spec = manifest["aot"][m]
+        assert "error" not in spec, spec
+        assert (artifact / spec["mlir_file"]).exists()
+        assert len(spec["inputs"]) == spec["n_state"] + 2  # state..., x, seed
+        assert spec["state_inputs"] == list(range(spec["n_state"]))
+        n_out = len(spec["outputs"])
+        assert spec["state_outputs"] == list(
+            range(n_out - spec["n_state"], n_out)
+        )
+        # state specs match between the two ends of the round trip
+        for si, so in zip(spec["state_inputs"], spec["state_outputs"]):
+            assert spec["inputs"][si] == spec["outputs"][so]
+        # the lowered module keeps every input (state pass-through), so
+        # the C++ host can marshal positionally
+        assert spec["kept_inputs"] == list(range(len(spec["inputs"])))
+
+
+def test_host_info(host_bin, artifact):
+    out = subprocess.run(
+        [host_bin, str(artifact), "info"], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "aot_method: forward_step" in out.stdout
+    manifest = json.loads((artifact / "manifest.json").read_text())
+    assert f"block_size: {manifest['block_size']}" in out.stdout
+
+
+def test_host_forward_matches_python_aot(host_bin, artifact, tmp_path):
+    """rtpu_host forward == the same StableHLO modules run from Python with
+    the same seed schedule (tolerance covers the two independent XLA builds
+    plus PCM16 output quantization)."""
+    from jax import export as jex
+    from scipy.io import wavfile
+
+    manifest = json.loads((artifact / "manifest.json").read_text())
+    block = manifest["block_size"]
+    sr = manifest["sampling_rate"]
+    n_blocks = 3
+    t = np.arange(n_blocks * block) / sr
+    sig = 0.4 * np.sin(2 * np.pi * 220 * t) + 0.1 * np.sin(2 * np.pi * 880 * t)
+    x_host = _write_wav(tmp_path / "in.wav", sig, sr)
+
+    r = subprocess.run(
+        [host_bin, str(artifact), "forward", str(tmp_path / "in.wav"),
+         str(tmp_path / "out.wav"), "0"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    sr2, y_host = wavfile.read(tmp_path / "out.wav")
+    assert sr2 == sr
+    y_host = y_host.astype(np.float32) / 32767.0
+
+    fwd = jex.deserialize((artifact / "forward_step.stablehlo").read_bytes())
+    from rave_tpu.export.artifact import ExportedRAVE
+
+    art = ExportedRAVE(str(artifact))
+    state = {"cache": art.cache}
+    ys = []
+    for i in range(n_blocks):
+        xb = jnp.asarray(
+            x_host[i * block : (i + 1) * block].reshape(1, block, 1)
+        )
+        yb, state = fwd.call(state, xb, jnp.uint32(i))
+        ys.append(np.asarray(yb)[0, :, 0])
+    y_py = np.concatenate(ys)
+
+    assert y_host.shape == y_py.shape
+    # PCM16 write/read quantization alone is ~3e-5; XLA build drift is tiny
+    np.testing.assert_allclose(y_host, y_py, atol=5e-4)
+
+
+def test_host_encode_decode_roundtrip(host_bin, artifact, tmp_path):
+    """encode -> raw f32 latents -> decode through the C++ host, checked
+    against the Python AOT replay of the same schedule."""
+    from jax import export as jex
+    from scipy.io import wavfile
+
+    manifest = json.loads((artifact / "manifest.json").read_text())
+    block = manifest["block_size"]
+    sr = manifest["sampling_rate"]
+    L = manifest["latent_size"]
+    n_blocks = 2
+    rng = np.random.default_rng(1)
+    sig = 0.3 * rng.standard_normal(n_blocks * block)
+    x_host = _write_wav(tmp_path / "in.wav", sig, sr)
+
+    r = subprocess.run(
+        [host_bin, str(artifact), "encode", str(tmp_path / "in.wav"),
+         str(tmp_path / "z.f32"), "7"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    z_host = np.fromfile(tmp_path / "z.f32", dtype=np.float32).reshape(-1, L)
+
+    enc = jex.deserialize((artifact / "encode_step.stablehlo").read_bytes())
+    from rave_tpu.export.artifact import ExportedRAVE
+
+    art = ExportedRAVE(str(artifact))
+    state = {"cache": art.cache}
+    zs = []
+    for i in range(n_blocks):
+        xb = jnp.asarray(
+            x_host[i * block : (i + 1) * block].reshape(1, block, 1)
+        )
+        zb, state = enc.call(state, xb, jnp.uint32(7 + i))
+        zs.append(np.asarray(zb)[0])
+    z_py = np.concatenate(zs, axis=0)
+    assert z_host.shape == z_py.shape
+    np.testing.assert_allclose(z_host, z_py, atol=1e-4)
+
+    # decode the host's latents back to audio through the host
+    r = subprocess.run(
+        [host_bin, str(artifact), "decode", str(tmp_path / "z.f32"),
+         str(tmp_path / "resynth.wav"), "3"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    sr3, y = wavfile.read(tmp_path / "resynth.wav")
+    assert sr3 == sr
+    assert len(y) == n_blocks * block
+    assert np.isfinite(y.astype(np.float32)).all()
