@@ -13,6 +13,10 @@
 //   rtpu_host <model.rtpu> forward <in.wav> <out.wav> [seed_base]
 //   rtpu_host <model.rtpu> encode  <in.wav> <latents.f32> [seed_base]
 //   rtpu_host <model.rtpu> decode  <latents.f32> <out.wav> [seed_base]
+//   rtpu_host <model.rtpu> prior   <n_frames> <latents.f32> [seed_base]
+//
+// Run on a TPU (or any PJRT plugin) instead of in-process XLA:CPU with
+//   rtpu_host --plugin /path/to/pjrt_plugin.so [--opt key=value ...] ...
 //
 // Latent files are raw little-endian float32, [n_frames, latent_size]
 // row-major (the shape is printed and recoverable from the manifest).
@@ -26,12 +30,14 @@
 
 #include <dlfcn.h>
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
 #include <map>
 #include <memory>
+#include <random>
 #include <string>
 #include <vector>
 
@@ -552,6 +558,45 @@ std::vector<float> AsFloats(const std::vector<char>& raw) {
   return out;
 }
 
+// Acklam's rational approximation of the inverse standard-normal CDF
+// (|rel err| < 1.2e-9) — equals sqrt(2)*erfinv(2p-1), the prior's
+// QuantizedNormal.to_normal (rave_tpu/prior/core.py).
+double InvNormalCdf(double p) {
+  static const double A[] = {-3.969683028665376e+01, 2.209460984245205e+02,
+                             -2.759285104469687e+02, 1.383577518672690e+02,
+                             -3.066479806614716e+01, 2.506628277459239e+00};
+  static const double B[] = {-5.447609879822406e+01, 1.615858368580409e+02,
+                             -1.556989798598866e+02, 6.680131188771972e+01,
+                             -1.328068155288572e+01};
+  static const double C[] = {-7.784894002430293e-03, -3.223964580411365e-01,
+                             -2.400758277161838e+00, -2.549732539343734e+00,
+                             4.374664141464968e+00,  2.938163982698783e+00};
+  static const double D[] = {7.784695709041462e-03, 3.224671290700398e-01,
+                             2.445134137142996e+00, 3.754408661907416e+00};
+  const double plow = 0.02425, phigh = 1 - plow;
+  if (p <= 0) return -HUGE_VAL;
+  if (p >= 1) return HUGE_VAL;
+  double q, r;
+  if (p < plow) {
+    q = sqrt(-2 * log(p));
+    return (((((C[0] * q + C[1]) * q + C[2]) * q + C[3]) * q + C[4]) * q +
+            C[5]) /
+           ((((D[0] * q + D[1]) * q + D[2]) * q + D[3]) * q + 1);
+  }
+  if (p <= phigh) {
+    q = p - 0.5;
+    r = q * q;
+    return (((((A[0] * r + A[1]) * r + A[2]) * r + A[3]) * r + A[4]) * r +
+            A[5]) *
+           q /
+           (((((B[0] * r + B[1]) * r + B[2]) * r + B[3]) * r + B[4]) * r + 1);
+  }
+  q = sqrt(-2 * log(1 - p));
+  return -(((((C[0] * q + C[1]) * q + C[2]) * q + C[3]) * q + C[4]) * q +
+           C[5]) /
+         ((((D[0] * q + D[1]) * q + D[2]) * q + D[3]) * q + 1);
+}
+
 int Fail(const char* msg) {
   fprintf(stderr, "%s\n", msg);
   return 1;
@@ -561,13 +606,17 @@ int Fail(const char* msg) {
 
 int main(int argc, char** argv) {
   // leading options: --plugin <pjrt_plugin.so> [--opt key=value ...]
+  //                  --no-dither (prior decode without dither, for tests)
   std::string plugin;
+  bool no_dither = false;
   absl::flat_hash_map<std::string, xla::PjRtValueType> plugin_opts;
   std::vector<char*> pos;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
     if (a == "--plugin" && i + 1 < argc) {
       plugin = argv[++i];
+    } else if (a == "--no-dither") {
+      no_dither = true;
     } else if (a == "--opt" && i + 1 < argc) {
       std::string kv = argv[++i];
       size_t eq = kv.find('=');
@@ -597,7 +646,8 @@ int main(int argc, char** argv) {
             "  info\n"
             "  forward <in.wav> <out.wav> [seed]\n"
             "  encode <in.wav> <latents.f32> [seed]\n"
-            "  decode <latents.f32> <out.wav> [seed]\n");
+            "  decode <latents.f32> <out.wav> [seed]\n"
+            "  prior <n_frames> <latents.f32> [seed]\n");
     return 1;
   }
   std::string dir = argv[1], cmd = argv[2];
@@ -716,6 +766,62 @@ int main(int argc, char** argv) {
     printf("wrote %s: %lld frames x %lld ch @ %lld Hz\n", out_path.c_str(),
            static_cast<long long>(w.n_frames()),
            static_cast<long long>(n_channels), static_cast<long long>(sr));
+    return 0;
+  }
+
+  if (cmd == "prior") {
+    // rtpu_host <art> prior <n_frames> <latents.f32> [seed] — sample the
+    // bundled autoregressive prior into decode-ready latents (the
+    // reference exposes the same "prior" method on the .ts artifact).
+    if (!man.has("prior") || man.at("prior").kind != Json::kObj)
+      return Fail("artifact was exported without a prior");
+    int64_t n_frames = atoll(in_path.c_str());
+    if (n_frames <= 0) return Fail("prior: n_frames must be positive");
+    const Json& pc = man.at("prior");
+    int64_t D = pc.at("latent_size").i64();
+    int64_t R = pc.at("resolution").i64();
+    Method& m = host.Load("prior_step");
+    int64_t n_steps = n_frames + D - 1;
+    // autoregress: x0 = zeros, feed each sampled one-hot back in
+    std::vector<float> ys(static_cast<size_t>(n_steps) * D * R);
+    std::vector<float> x(static_cast<size_t>(D) * R, 0.f);
+    for (int64_t i = 0; i < n_steps; i++) {
+      auto primary = host.Step(m, {x.data()},
+                               seed_base + static_cast<uint32_t>(i));
+      auto nxt = AsFloats(primary[0]);
+      memcpy(&ys[i * D * R], nxt.data(), nxt.size() * sizeof(float));
+      memcpy(x.data(), nxt.data(), nxt.size() * sizeof(float));
+    }
+    // QuantizedNormal.decode (+ optional dither) then DiagonalShift
+    // inverse: out[t, d] = to_normal(argmax(ys[t + d, d*R..]) / R)
+    // (rave_tpu/prior/core.py; inverse shift reduces length by D-1)
+    std::mt19937 rng(seed_base ^ 0x9E3779B9u);
+    std::uniform_real_distribution<float> uni(0.f, 1.f);
+    std::vector<float> z(static_cast<size_t>(n_frames) * D);
+    for (int64_t t = 0; t < n_frames; t++) {
+      for (int64_t d = 0; d < D; d++) {
+        const float* row = &ys[(t + d) * D * R + d * R];
+        int64_t best = 0;
+        for (int64_t r = 1; r < R; r++)
+          if (row[r] > row[best]) best = r;
+        double q = static_cast<double>(best) / R;
+        if (!no_dither) q += uni(rng) / R;
+        double v = InvNormalCdf(q);
+        z[t * D + d] =
+            static_cast<float>(v < -4.0 ? -4.0 : (v > 4.0 ? 4.0 : v));
+      }
+    }
+    // pad to the artifact's latent width with N(0,1) (sample_prior parity)
+    std::vector<float> out(static_cast<size_t>(n_frames) * latent);
+    std::normal_distribution<float> nrm(0.f, 1.f);
+    for (int64_t t = 0; t < n_frames; t++)
+      for (int64_t l = 0; l < latent; l++)
+        out[t * latent + l] = l < D ? z[t * D + l] : nrm(rng);
+    std::ofstream f(out_path, std::ios::binary);
+    f.write(reinterpret_cast<char*>(out.data()), out.size() * 4);
+    printf("wrote %s: [%lld, %lld] float32 latents from the prior\n",
+           out_path.c_str(), static_cast<long long>(n_frames),
+           static_cast<long long>(latent));
     return 0;
   }
 

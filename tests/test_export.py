@@ -165,8 +165,15 @@ def test_aot_stablehlo_matches_live_model(tmp_path):
     out = Path(export_model(run=str(run_dir), streaming=True))
     manifest = json.loads((out / "manifest.json").read_text())
     for m in ("encode_step", "decode_step", "forward_step"):
-        assert "error" not in manifest["aot"][m], manifest["aot"][m]
+        spec = manifest["aot"][m]
+        assert "error" not in spec, spec
         assert (out / f"{m}.stablehlo").exists()
+        # the C++-host surface: raw bytecode + flat call signature
+        assert (out / spec["mlir_file"]).exists()
+        assert len(spec["inputs"]) == spec["n_state"] + 2
+        assert spec["kept_inputs"] == list(range(len(spec["inputs"])))
+        for si, so in zip(spec["state_inputs"], spec["state_outputs"]):
+            assert spec["inputs"][si] == spec["outputs"][so]
 
     art = ExportedRAVE(str(out))
     block = manifest["block_size"]
@@ -224,3 +231,25 @@ def test_aot_stablehlo_matches_live_model(tmp_path):
     x = jnp.asarray(rngx.standard_normal((1, block, 1)) * 0.3, jnp.float32)
     y_f, stf = fwd.call(stf, x, jnp.uint32(5))
     assert np.asarray(y_f).shape == (1, block, 1)
+
+
+@pytest.mark.slow
+def test_aot_threads_adain_state(tmp_path):
+    """AdaIN runtime stats thread through the AOT modules as explicit
+    state I/O (so a Python-free host can read/poke them between calls),
+    not baked constants."""
+    from jax import export as jex
+
+    from rave_tpu.export.export import export_model
+
+    cfg, run_dir = _make_run(tmp_path, ["v2", "adain"])
+    out = Path(export_model(run=str(run_dir), streaming=True))
+    manifest = json.loads((out / "manifest.json").read_text())
+    spec = manifest["aot"]["forward_step"]
+    assert "error" not in spec, spec
+    assert manifest["attributes"] == [
+        "learn_target", "reset_target", "learn_source", "reset_source"
+    ]
+    jex.deserialize((out / "forward_step.stablehlo").read_bytes())  # smoke
+    # the state pytree includes the adain collection
+    assert "adain" in spec["state_tree"]

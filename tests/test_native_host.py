@@ -195,3 +195,86 @@ def test_host_encode_decode_roundtrip(host_bin, artifact, tmp_path):
     assert sr3 == sr
     assert len(y) == n_blocks * block
     assert np.isfinite(y.astype(np.float32)).all()
+
+
+def test_host_prior_matches_python_aot(host_bin, tmp_path):
+    """C++ prior sampling (AOT prior_step autoregression + the host's own
+    QuantizedNormal/DiagonalShift decode) == the Python replay of the same
+    modules and seed schedule (dither off on both sides)."""
+    from jax import export as jex
+    from scipy.special import erfinv
+
+    from rave_tpu.export.export import export_model
+    from rave_tpu.prior.model import Prior
+    from rave_tpu.utils.checkpoint import save_checkpoint
+
+    # a VAE run + a fabricated tiny prior run (prior D == artifact latent
+    # size so no noise padding is involved)
+    cfg = config_lib.compose(["v2", "causal"], TINY)
+    cfg.data.n_signal = 8192
+    model = build_rave(cfg, n_channels=1, train=True)
+    dis = build_discriminator(cfg, n_channels=1)
+    state = create_train_state(cfg, model, dis, jax.random.key(0), n_signal=8192)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    (run_dir / "config.json").write_text(config_lib.snapshot(cfg))
+    save_checkpoint(str(run_dir), 1, jax.device_get(state))
+
+    pcfg = dict(
+        latent_size=2, resolution=8, res_size=8, skp_size=8,
+        kernel_size=3, cycle_size=2, n_layers=2,
+    )
+    prior = Prior(**pcfg)
+    x0 = jnp.zeros((1, 4, pcfg["resolution"] * pcfg["latent_size"]))
+    pv = jax.jit(prior.init)({"params": jax.random.key(1)}, x0)
+    prior_dir = tmp_path / "prior_run"
+    prior_dir.mkdir()
+    (prior_dir / "prior_config.json").write_text(json.dumps(pcfg))
+    save_checkpoint(
+        str(prior_dir), 1, jax.device_get({"params": pv["params"], "opt": {}})
+    )
+
+    out = Path(export_model(
+        run=str(run_dir), streaming=True, prior=str(prior_dir),
+    ))
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert "error" not in manifest["aot"]["prior_step"], (
+        manifest["aot"]["prior_step"]
+    )
+
+    n_frames, seed_base = 6, 11
+    r = subprocess.run(
+        [host_bin, "--no-dither", str(out), "prior", str(n_frames),
+         str(tmp_path / "zp.f32"), str(seed_base)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    L = manifest["latent_size"]
+    z_host = np.fromfile(tmp_path / "zp.f32", dtype=np.float32).reshape(-1, L)
+    assert z_host.shape == (n_frames, L)
+
+    # python replay: same AOT module, same seeds, same decode math
+    D, R = pcfg["latent_size"], pcfg["resolution"]
+    ps = jex.deserialize((out / "prior_step.stablehlo").read_bytes())
+    cache = jax.tree_util.tree_map(
+        lambda a: jnp.zeros(a.shape, a.dtype),
+        jax.eval_shape(
+            lambda: prior.init(
+                {"params": jax.random.key(0)}, jnp.zeros((1, 1, D * R))
+            )
+        ).get("cache", {}),
+    )
+    x = jnp.zeros((1, 1, D * R))
+    ys = []
+    for i in range(n_frames + D - 1):
+        x, cache = ps.call(cache, x, jnp.uint32(seed_base + i))
+        ys.append(np.asarray(x)[0, 0])
+    ys = np.stack(ys)  # [steps, D*R] one-hots
+    idx = ys.reshape(-1, D, R).argmax(-1)  # [steps, D]
+    q = idx.astype(np.float64) / R
+    dec = np.clip(erfinv(2 * q - 1) * np.sqrt(2), -4, 4)
+    z_py = np.stack(
+        [[dec[t + d, d] for d in range(D)] for t in range(n_frames)]
+    )
+    M = min(D, L)  # host truncates/pads the prior's width to the artifact's
+    np.testing.assert_allclose(z_host[:, :M], z_py[:, :M], atol=1e-4)
