@@ -18,6 +18,14 @@
 // Run on a TPU (or any PJRT plugin) instead of in-process XLA:CPU with
 //   rtpu_host --plugin /path/to/pjrt_plugin.so [--opt key=value ...] ...
 //
+// Named attributes (the nn_tilde register_attribute analog — AdaIN style
+// transfer on adain-equipped artifacts):
+//   --attr learn_target=1   set an attribute before streaming (repeatable;
+//                           bare `--attr reset_target` means value 1)
+//   --save-state f / --load-state f   persist the streaming state across
+//                           invocations, so learn-target / learn-source /
+//                           transfer can run as separate processes.
+//
 // Latent files are raw little-endian float32, [n_frames, latent_size]
 // row-major (the shape is printed and recoverable from the manifest).
 // The per-block seed is seed_base + block_index; the Python test replays
@@ -30,6 +38,8 @@
 
 #include <dlfcn.h>
 
+#include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -401,6 +411,12 @@ T ValueOrDie(absl::StatusOr<T> v, const char* what) {
   return std::move(v).value();
 }
 
+// A named attribute set on the command line: --attr name[=value].
+struct AttrOp {
+  std::string name;
+  float value = 1.f;
+};
+
 // A loaded AOT method: compiled executable + flat I/O specs + state mapping.
 struct Method {
   std::unique_ptr<xla::PjRtLoadedExecutable> exe;
@@ -485,7 +501,128 @@ class RtpuHost {
       std::vector<char> zeros(s.bytes(), 0);
       m.state.push_back(Upload(zeros.data(), s));
     }
+    ApplyStateInit(name, m, aot);
     return methods_.emplace(name, std::move(m)).first->second;
+  }
+
+  // --load-state then --attr fills, in that order (so an attribute can
+  // override a loaded flag). Attribute semantics come from the manifest's
+  // attribute_ops table: each op fills every state leaf whose pytree path
+  // (aot.<method>.state_leaves) ends with op.leaf.
+  void SetStateOptions(std::vector<AttrOp> attrs, std::string load_path,
+                       std::string save_path) {
+    attrs_ = std::move(attrs);
+    load_state_ = std::move(load_path);
+    save_state_ = std::move(save_path);
+  }
+  const std::string& save_state_path() const { return save_state_; }
+
+  void ApplyStateInit(const std::string& name, Method& m, const Json& aot) {
+    if (!load_state_.empty()) {
+      std::string raw = ReadFile(load_state_);
+      const char* p = raw.data();
+      const char* end = raw.data() + raw.size();
+      if (raw.size() < 16 || memcmp(p, "RTPUST01", 8) != 0) {
+        fprintf(stderr, "%s: not an rtpu state file\n", load_state_.c_str());
+        exit(1);
+      }
+      p += 8;
+      uint64_t n = 0;
+      memcpy(&n, p, 8);
+      p += 8;
+      if (static_cast<int64_t>(n) != m.n_state) {
+        fprintf(stderr, "%s: %llu state leaves, %s expects %lld\n",
+                load_state_.c_str(), static_cast<unsigned long long>(n),
+                name.c_str(), static_cast<long long>(m.n_state));
+        exit(1);
+      }
+      for (int64_t i = 0; i < m.n_state; i++) {
+        uint64_t sz = 0;
+        if (p + 8 > end) {
+          fprintf(stderr, "%s: truncated\n", load_state_.c_str());
+          exit(1);
+        }
+        memcpy(&sz, p, 8);
+        p += 8;
+        if (sz != static_cast<uint64_t>(m.inputs[i].bytes()) ||
+            p + sz > end) {
+          fprintf(stderr, "%s: leaf %lld is %llu bytes, expected %lld\n",
+                  load_state_.c_str(), static_cast<long long>(i),
+                  static_cast<unsigned long long>(sz),
+                  static_cast<long long>(m.inputs[i].bytes()));
+          exit(1);
+        }
+        m.state[i] = Upload(p, m.inputs[i]);
+        p += sz;
+      }
+    }
+    if (attrs_.empty()) return;
+    const Json& ops_map = manifest_.at("attribute_ops");
+    const Json& leaves = aot.at("state_leaves");
+    if (leaves.kind != Json::kArr ||
+        static_cast<int64_t>(leaves.arr.size()) != m.n_state) {
+      fprintf(stderr,
+              "artifact lacks state_leaves for %s — re-export with a "
+              "framework version that writes them\n",
+              name.c_str());
+      exit(1);
+    }
+    for (const auto& attr : attrs_) {
+      if (!ops_map.has(attr.name)) {
+        fprintf(stderr, "artifact exposes no attribute '%s'\n",
+                attr.name.c_str());
+        exit(1);
+      }
+      for (const auto& op : ops_map.at(attr.name).arr) {
+        const std::string& leaf = op.at("leaf").str;
+        float fill = op.at("fill").kind == Json::kNull
+                         ? attr.value
+                         : static_cast<float>(op.at("fill").num);
+        bool found = false;
+        for (int64_t i = 0; i < m.n_state; i++) {
+          const std::string& path = leaves.arr[i].str;
+          bool match =
+              path == leaf ||
+              (path.size() > leaf.size() &&
+               path[path.size() - leaf.size() - 1] == '/' &&
+               path.compare(path.size() - leaf.size(), leaf.size(), leaf) ==
+                   0);
+          if (!match) continue;
+          const TensorSpec& s = m.inputs[i];
+          if (s.dtype != "float32") {
+            fprintf(stderr, "attribute leaf %s is %s (want float32)\n",
+                    path.c_str(), s.dtype.c_str());
+            exit(1);
+          }
+          std::vector<float> host(s.elems(), fill);
+          m.state[i] = Upload(host.data(), s);
+          found = true;
+        }
+        if (!found)
+          fprintf(stderr, "warning: attribute %s: no state leaf ends with "
+                  "'%s'\n", attr.name.c_str(), leaf.c_str());
+      }
+    }
+  }
+
+  // Persist the current (post-run) streaming state: magic, leaf count,
+  // then per-leaf {u64 byte size, raw data} in flat state order.
+  void SaveState(Method& m, const std::string& path) {
+    std::ofstream f(path, std::ios::binary);
+    if (!f) {
+      fprintf(stderr, "cannot write %s\n", path.c_str());
+      exit(1);
+    }
+    f.write("RTPUST01", 8);
+    uint64_t n = static_cast<uint64_t>(m.n_state);
+    f.write(reinterpret_cast<char*>(&n), 8);
+    for (int64_t i = 0; i < m.n_state; i++) {
+      auto lit = ValueOrDie(m.state[i]->ToLiteralSync(), "state d2h");
+      uint64_t sz = lit->size_bytes();
+      f.write(reinterpret_cast<char*>(&sz), 8);
+      f.write(reinterpret_cast<const char*>(lit->untyped_data()),
+              static_cast<std::streamsize>(sz));
+    }
   }
 
   std::unique_ptr<xla::PjRtBuffer> Upload(const void* data,
@@ -550,6 +687,8 @@ class RtpuHost {
   std::unique_ptr<xla::PjRtClient> client_;
   xla::PjRtMemorySpace* mem_;
   std::map<std::string, Method> methods_;
+  std::vector<AttrOp> attrs_;
+  std::string load_state_, save_state_;
 };
 
 std::vector<float> AsFloats(const std::vector<char>& raw) {
@@ -610,6 +749,8 @@ int main(int argc, char** argv) {
   std::string plugin;
   bool no_dither = false;
   absl::flat_hash_map<std::string, xla::PjRtValueType> plugin_opts;
+  std::vector<AttrOp> attrs;
+  std::string load_state, save_state;
   std::vector<char*> pos;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
@@ -617,6 +758,19 @@ int main(int argc, char** argv) {
       plugin = argv[++i];
     } else if (a == "--no-dither") {
       no_dither = true;
+    } else if (a == "--attr" && i + 1 < argc) {
+      std::string kv = argv[++i];
+      size_t eq = kv.find('=');
+      AttrOp op;
+      op.name = eq == std::string::npos ? kv : kv.substr(0, eq);
+      op.value = eq == std::string::npos
+                     ? 1.f
+                     : static_cast<float>(atof(kv.substr(eq + 1).c_str()));
+      attrs.push_back(std::move(op));
+    } else if (a == "--save-state" && i + 1 < argc) {
+      save_state = argv[++i];
+    } else if (a == "--load-state" && i + 1 < argc) {
+      load_state = argv[++i];
     } else if (a == "--opt" && i + 1 < argc) {
       std::string kv = argv[++i];
       size_t eq = kv.find('=');
@@ -640,18 +794,21 @@ int main(int argc, char** argv) {
   argv = rebased.data();
   if (argc < 3) {
     fprintf(stderr,
-            "usage: rtpu_host [--plugin pjrt.so [--opt k=v ...]] "
-            "<model.rtpu> <command>\n"
+            "usage: rtpu_host [--plugin pjrt.so [--opt k=v ...]]\n"
+            "                 [--attr name[=v] ...] [--load-state f] "
+            "[--save-state f] <model.rtpu> <command>\n"
             "commands:\n"
             "  info\n"
             "  forward <in.wav> <out.wav> [seed]\n"
             "  encode <in.wav> <latents.f32> [seed]\n"
             "  decode <latents.f32> <out.wav> [seed]\n"
-            "  prior <n_frames> <latents.f32> [seed]\n");
+            "  prior <n_frames> <latents.f32> [seed]\n"
+            "  bench [n_blocks]\n");
     return 1;
   }
   std::string dir = argv[1], cmd = argv[2];
   RtpuHost host(dir, plugin, plugin_opts);
+  host.SetStateOptions(std::move(attrs), load_state, save_state);
   const Json& man = host.manifest();
   int64_t block = man.at("block_size").i64();
   int64_t sr = man.at("sampling_rate").i64();
@@ -676,6 +833,44 @@ int main(int argc, char** argv) {
     for (const auto& kv : aot.obj)
       printf("aot_method: %s%s\n", kv.first.c_str(),
              kv.second.has("mlir_file") ? "" : " (unavailable)");
+    for (const auto& a : man.at("attributes").arr)
+      printf("attribute: %s\n", a.str.c_str());
+    return 0;
+  }
+
+  if (cmd == "bench") {
+    // End-to-end per-block forward latency through this host — upload,
+    // execute, fetch, state retained on device — i.e. what an audio
+    // callback would pay. Realtime budget = block_size / sampling_rate.
+    int64_t n_blocks = argc > 3 ? atoll(argv[3]) : 256;
+    Method& m = host.Load("forward_step");
+    std::vector<float> xblock(
+        static_cast<size_t>(stream_batch) * block * n_channels);
+    std::mt19937 rng(17);
+    std::normal_distribution<float> nrm(0.f, 0.1f);
+    std::vector<double> ms;
+    ms.reserve(n_blocks);
+    for (int64_t bi = -8; bi < n_blocks; bi++) {  // 8 warmup blocks
+      for (auto& v : xblock) v = nrm(rng);
+      auto t0 = std::chrono::steady_clock::now();
+      host.Step(m, {xblock.data()}, static_cast<uint32_t>(bi + 8));
+      auto t1 = std::chrono::steady_clock::now();
+      if (bi >= 0)
+        ms.push_back(
+            std::chrono::duration<double, std::milli>(t1 - t0).count());
+    }
+    std::sort(ms.begin(), ms.end());
+    double sum = 0;
+    for (double v : ms) sum += v;
+    double p50 = ms[ms.size() / 2], p95 = ms[ms.size() * 95 / 100];
+    double budget_ms = 1000.0 * block / sr;
+    printf("blocks: %lld x %lld samples (budget %.2f ms/block)\n",
+           static_cast<long long>(n_blocks), static_cast<long long>(block),
+           budget_ms);
+    printf("per-block forward: p50 %.3f ms  p95 %.3f ms  mean %.3f ms\n",
+           p50, p95, sum / ms.size());
+    printf("realtime headroom: %.1fx (p50), %.1fx (p95)\n", budget_ms / p50,
+           budget_ms / p95);
     return 0;
   }
 
@@ -715,6 +910,8 @@ int main(int argc, char** argv) {
       auto y = AsFloats(primary[0]);
       out.insert(out.end(), y.begin(), y.end());
     }
+    if (!host.save_state_path().empty())
+      host.SaveState(m, host.save_state_path());
 
     if (cmd == "forward") {
       Wav w;
@@ -758,6 +955,8 @@ int main(int argc, char** argv) {
       auto y = AsFloats(primary[0]);
       out.insert(out.end(), y.begin(), y.end());
     }
+    if (!host.save_state_path().empty())
+      host.SaveState(m, host.save_state_path());
     Wav w;
     w.sample_rate = static_cast<int>(sr);
     w.channels = static_cast<int>(n_channels);
@@ -792,6 +991,8 @@ int main(int argc, char** argv) {
       memcpy(&ys[i * D * R], nxt.data(), nxt.size() * sizeof(float));
       memcpy(x.data(), nxt.data(), nxt.size() * sizeof(float));
     }
+    if (!host.save_state_path().empty())
+      host.SaveState(m, host.save_state_path());
     // QuantizedNormal.decode (+ optional dither) then DiagonalShift
     // inverse: out[t, d] = to_normal(argmax(ys[t + d, d*R..]) / R)
     // (rave_tpu/prior/core.py; inverse shift reduces length by D-1)

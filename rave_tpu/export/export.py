@@ -163,6 +163,30 @@ def export_model(
             if (cfg.encoder.use_adain or cfg.decoder.use_adain)
             else []
         ),
+        # Named-attribute ops for Python-free hosts (the nn_tilde
+        # register_attribute analog, reference scripts/export.py:306-341):
+        # each attribute is a list of fills applied to every streaming-state
+        # leaf whose path ends with `leaf` (see aot.<method>.state_leaves).
+        # fill=None means "use the user-provided value" (a toggle);
+        # constant fills implement the reset actions.
+        "attribute_ops": (
+            {
+                "learn_target": [{"leaf": "learn_y", "fill": None}],
+                "learn_source": [{"leaf": "learn_x", "fill": None}],
+                "reset_target": [
+                    {"leaf": "mean_y", "fill": 0.0},
+                    {"leaf": "std_y", "fill": 1.0},
+                    {"leaf": "num_update_y", "fill": 0.0},
+                ],
+                "reset_source": [
+                    {"leaf": "mean_x", "fill": 0.0},
+                    {"leaf": "std_x", "fill": 1.0},
+                    {"leaf": "num_update_x", "fill": 0.0},
+                ],
+            }
+            if (cfg.encoder.use_adain or cfg.decoder.use_adain)
+            else {}
+        ),
         "config": config_lib.to_dict(cfg),
         "prior": manifest_prior,
         "version": 1,
@@ -312,6 +336,22 @@ def _aot_lower(
 
         methods["prior_step"] = (prior_step, (pcache0, p0, seed_ex))
 
+    def leaf_paths(tree):
+        """Flat '/'-joined path strings of a pytree's leaves, in the same
+        order jax.jit flattens them into positional module inputs."""
+        out = []
+        for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            parts = []
+            for k in path:
+                if hasattr(k, "key"):
+                    parts.append(str(k.key))
+                elif hasattr(k, "idx"):
+                    parts.append(str(k.idx))
+                else:
+                    parts.append(str(k))
+            out.append("/".join(parts))
+        return out
+
     report = {}
     for name, (fn, args) in methods.items():
         try:
@@ -344,6 +384,10 @@ def _aot_lower(
                 "n_state": n_state,
                 "state_inputs": list(range(n_state)),
                 "state_outputs": list(range(n_out - n_state, n_out)),
+                # pytree path of each flat state leaf (index-aligned with
+                # state_inputs) — lets hosts target named leaves, e.g. the
+                # AdaIN attribute ops in manifest.attribute_ops
+                "state_leaves": leaf_paths(args[0]),
                 # indices of the flat inputs the lowered module actually
                 # takes (jax.export drops args that don't affect any
                 # output; state pass-through keeps them all in practice —

@@ -30,6 +30,12 @@ def data_mesh(devices: Optional[Sequence] = None) -> Mesh:
 
 def shard_batch(mesh: Mesh, x) -> jax.Array:
     """[B, T, C] batch, B sharded across the 'data' axis."""
+    n = mesh.shape["data"]
+    if np.shape(x)[0] % n != 0:
+        raise ValueError(
+            f"batch size {np.shape(x)[0]} must be divisible by the "
+            f"{n}-device data mesh — pass --batch as a multiple of {n}"
+        )
     return jax.device_put(x, NamedSharding(mesh, P("data")))
 
 

@@ -141,6 +141,14 @@ def train(
         rf = receptive_field(cfg, n_channels=channels)
         dim = cfg.n_band * channels if cfg.input_mode == "pqmf" else channels
         crop_frames = (rf[0] // max(dim, 1), rf[1] // max(dim, 1))
+        total_frames = (cfg.data.n_signal * channels) // max(dim, 1)
+        if crop_frames[0] + crop_frames[1] >= total_frames:
+            raise ValueError(
+                f"n_signal={cfg.data.n_signal} leaves no valid signal after "
+                f"cropping the model's receptive field "
+                f"({rf[0]}+{rf[1]} samples) — raise --n_signal or disable "
+                f"train.valid_signal_crop"
+            )
         if progress:
             ms = 1000 / cfg.sampling_rate
             print(

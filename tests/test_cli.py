@@ -1,0 +1,108 @@
+"""End-to-end test of the public CLI surface (rave_tpu/cli.py).
+
+The reference pins its user contract through scripts/main_cli.py
+subcommands (preprocess -> train -> export -> generate, README quick
+start); this drives the same chain in-process on a tiny config:
+corpus wavs -> ARS store -> 2-step smoke train -> .rtpu export ->
+offline generate, asserting each stage's artifacts.
+
+Marked slow: the train-step compile dominates on a cold XLA cache.
+"""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+TINY_OVERRIDES = [
+    "sampling_rate=22050",
+    "capacity=2",
+    "discriminator.capacity=2",
+    "latent_size=4",
+    "ratios=[4,4,2]",
+    "dilations=[[1],[1],[1]]",
+    # skip the receptive-field probe: its extra autograd compile dominates
+    # wall time on the 1-core CI box and is covered by tests/test_train.py
+    "train.valid_signal_crop=false",
+]
+SR = 22050
+N_SIGNAL = 8192
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        t = np.arange(40 * N_SIGNAL // 3) / SR
+        x = 0.4 * np.sin(2 * np.pi * (150 + 70 * i) * t)
+        x += 0.05 * rng.standard_normal(t.size)
+        wavfile.write(d / f"take_{i}.wav", SR, (x * 32767).astype(np.int16))
+    return d
+
+
+def _cli(args):
+    from rave_tpu.cli import main
+
+    assert main([str(a) for a in args]) == 0
+
+
+def test_cli_full_pipeline(corpus, tmp_path):
+    db = tmp_path / "db"
+    runs = tmp_path / "runs"
+    gen = tmp_path / "generated"
+
+    # 1. preprocess: corpus -> ARS store + metadata.yaml
+    _cli(["preprocess", "--input_path", corpus, "--output_path", db,
+          "--num_signal", N_SIGNAL, "--sampling_rate", SR, "--channels", 1,
+          "--workers", 2])
+    assert (db / "metadata.yaml").exists()
+
+    # 2. two-step smoke train through both the gen step and checkpointing
+    args = ["train", "--config", "v2", "--config", "causal"]
+    for o in TINY_OVERRIDES:
+        args += ["--override", o]
+    # batch must be a multiple of the data-mesh size (8-device CPU mesh)
+    args += ["--name", "cli_smoke", "--db_path", db, "--out_path", runs,
+             "--batch", 8, "--n_signal", N_SIGNAL, "--smoke_test",
+             "--workers", 2, "--no_progress"]
+    _cli(args)
+    run_dirs = [p for p in runs.iterdir() if p.is_dir()]
+    assert len(run_dirs) == 1
+    run_dir = run_dirs[0]
+    assert (run_dir / "config.json").exists()
+    assert any(run_dir.glob("checkpoints/*")), "no checkpoint written"
+
+    # 3. export -> .rtpu artifact with manifest + AOT modules
+    _cli(["export", "--run", run_dir, "--streaming"])
+    artifacts = list(run_dir.glob("*.rtpu"))
+    assert len(artifacts) == 1
+    manifest = json.loads((artifacts[0] / "manifest.json").read_text())
+    assert manifest["sampling_rate"] == SR
+    for m in ("encode_step", "decode_step", "forward_step"):
+        assert "error" not in manifest["aot"][m], manifest["aot"][m]
+
+    # 4. generate: reconstruct a corpus file through the artifact
+    wav_in = next(iter(corpus.glob("*.wav")))
+    _cli(["generate", "--model", artifacts[0], "--input", wav_in,
+          "--out_path", gen])
+    outs = list(Path(gen).glob("*.wav"))
+    assert len(outs) == 1
+    from scipy.io import wavfile
+
+    sr_out, y = wavfile.read(outs[0])
+    assert sr_out == SR
+    assert y.size > 0 and np.isfinite(y.astype(np.float32)).all()
+
+    # 5. resume: re-invoking train with the same name picks up the
+    # checkpoint and advances the step counter (reference train.py:257-263)
+    ckpts_before = {p.name for p in (run_dir / "checkpoints").iterdir()}
+    _cli(args)
+    run_dirs = [p for p in runs.iterdir() if p.is_dir()]
+    assert len(run_dirs) == 1, "resume must reuse the run dir, not fork one"
+    ckpts_after = {p.name for p in (run_dir / "checkpoints").iterdir()}
+    assert ckpts_after - ckpts_before, "resumed run saved no new checkpoint"

@@ -253,3 +253,13 @@ def test_aot_threads_adain_state(tmp_path):
     jex.deserialize((out / "forward_step.stablehlo").read_bytes())  # smoke
     # the state pytree includes the adain collection
     assert "adain" in spec["state_tree"]
+    # named-attribute ops for Python-free hosts: every op targets a leaf
+    # that actually exists in the flat state layout
+    leaves = spec["state_leaves"]
+    assert len(leaves) == spec["n_state"]
+    for name, ops in manifest["attribute_ops"].items():
+        assert name in manifest["attributes"]
+        for op in ops:
+            assert any(
+                p == op["leaf"] or p.endswith("/" + op["leaf"]) for p in leaves
+            ), (name, op, leaves)

@@ -197,6 +197,118 @@ def test_host_encode_decode_roundtrip(host_bin, artifact, tmp_path):
     assert np.isfinite(y.astype(np.float32)).all()
 
 
+@pytest.fixture(scope="module")
+def adain_artifact(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("adain_run")
+    from rave_tpu.export.export import export_model
+
+    cfg = config_lib.compose(["v2", "causal", "adain"], TINY)
+    cfg.data.n_signal = 8192
+    model = build_rave(cfg, n_channels=1, train=True)
+    dis = build_discriminator(cfg, n_channels=1)
+    state = create_train_state(cfg, model, dis, jax.random.key(0), n_signal=8192)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    (run_dir / "config.json").write_text(config_lib.snapshot(cfg))
+    save_checkpoint(str(run_dir), 1, jax.device_get(state))
+    out = export_model(run=str(run_dir), streaming=True)
+    return Path(out)
+
+
+def test_host_adain_style_transfer(host_bin, adain_artifact, tmp_path):
+    """The named-attribute surface on the C++ host (reference nn_tilde
+    register_attribute, scripts/export.py:306-341): learn target stats,
+    learn source stats, then stream with transfer active — three separate
+    processes chained via --save-state/--load-state — matching the Python
+    replay of the same AOT module, seeds, and attribute pokes."""
+    from jax import export as jex
+    from scipy.io import wavfile
+
+    manifest = json.loads((adain_artifact / "manifest.json").read_text())
+    assert manifest["attributes"] == [
+        "learn_target", "reset_target", "learn_source", "reset_source"
+    ]
+    assert manifest["attribute_ops"]["learn_target"] == [
+        {"leaf": "learn_y", "fill": None}
+    ]
+    spec = manifest["aot"]["forward_step"]
+    assert len(spec["state_leaves"]) == spec["n_state"]
+    assert any(p.endswith("/learn_y") for p in spec["state_leaves"])
+
+    block, sr = manifest["block_size"], manifest["sampling_rate"]
+    n_blocks = 2
+    rng = np.random.default_rng(3)
+    t = np.arange(n_blocks * block) / sr
+    a = 0.5 * np.sin(2 * np.pi * 330 * t)
+    b = 0.25 * rng.standard_normal(n_blocks * block)
+    xa = _write_wav(tmp_path / "a.wav", a, sr)
+    xb = _write_wav(tmp_path / "b.wav", b, sr)
+    s1, s2 = tmp_path / "s1.bin", tmp_path / "s2.bin"
+
+    def run(args):
+        r = subprocess.run(
+            [host_bin, *args], capture_output=True, text=True, timeout=600
+        )
+        assert r.returncode == 0, r.stderr
+
+    art_p = str(adain_artifact)
+    run(["--attr", "learn_target=1", "--save-state", str(s1), art_p,
+         "forward", str(tmp_path / "a.wav"), str(tmp_path / "oa.wav"), "0"])
+    run(["--load-state", str(s1), "--attr", "learn_target=0",
+         "--attr", "learn_source=1", "--save-state", str(s2), art_p,
+         "forward", str(tmp_path / "b.wav"), str(tmp_path / "ob.wav"), "10"])
+    run(["--load-state", str(s2), "--attr", "learn_source=0", art_p,
+         "forward", str(tmp_path / "b.wav"), str(tmp_path / "ot.wav"), "20"])
+    run([art_p, "forward", str(tmp_path / "b.wav"),
+         str(tmp_path / "op.wav"), "20"])
+
+    _, y_t = wavfile.read(tmp_path / "ot.wav")
+    y_t = y_t.astype(np.float32) / 32767.0
+    _, y_p = wavfile.read(tmp_path / "op.wav")
+    y_p = y_p.astype(np.float32) / 32767.0
+    # run 3 has learned stats on both sides -> transfer active -> its output
+    # differs from the same seeds with a fresh (stat-free) state
+    assert np.max(np.abs(y_t - y_p)) > 1e-4
+
+    # python replay: zero-init state, same pokes, same seed schedule
+    fwd = jex.deserialize(
+        (adain_artifact / "forward_step.stablehlo").read_bytes()
+    )
+    from rave_tpu.export.artifact import ExportedRAVE
+
+    art = ExportedRAVE(art_p)
+    state = {
+        "adain": jax.tree_util.tree_map(
+            jnp.zeros_like, art.variables["adain"]
+        ),
+        "cache": art.cache,
+    }
+
+    def fill(tree, suffix, value):
+        def walk(d, path):
+            if isinstance(d, dict):
+                return {k: walk(v, f"{path}/{k}") for k, v in d.items()}
+            return jnp.full_like(d, value) if path.endswith("/" + suffix) else d
+        return walk(tree, "")
+
+    def stream(state, x, seed_base):
+        ys = []
+        for i in range(n_blocks):
+            xblk = jnp.asarray(x[i * block : (i + 1) * block].reshape(1, block, 1))
+            yb, state = fwd.call(state, xblk, jnp.uint32(seed_base + i))
+            ys.append(np.asarray(yb)[0, :, 0])
+        return np.concatenate(ys), state
+
+    state["adain"] = fill(state["adain"], "learn_y", 1.0)
+    _, state = stream(state, xa, 0)
+    state["adain"] = fill(state["adain"], "learn_y", 0.0)
+    state["adain"] = fill(state["adain"], "learn_x", 1.0)
+    _, state = stream(state, xb, 10)
+    state["adain"] = fill(state["adain"], "learn_x", 0.0)
+    y_py, _ = stream(state, xb, 20)
+    np.testing.assert_allclose(y_t[: len(y_py)], y_py, atol=5e-4)
+
+
 def test_host_prior_matches_python_aot(host_bin, tmp_path):
     """C++ prior sampling (AOT prior_step autoregression + the host's own
     QuantizedNormal/DiagonalShift decode) == the Python replay of the same
