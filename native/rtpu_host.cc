@@ -803,7 +803,7 @@ int main(int argc, char** argv) {
             "  encode <in.wav> <latents.f32> [seed]\n"
             "  decode <latents.f32> <out.wav> [seed]\n"
             "  prior <n_frames> <latents.f32> [seed]\n"
-            "  bench [n_blocks]\n");
+            "  bench [n_blocks] [forward|encode|decode]\n");
     return 1;
   }
   std::string dir = argv[1], cmd = argv[2];
@@ -839,13 +839,13 @@ int main(int argc, char** argv) {
   }
 
   if (cmd == "bench") {
-    // End-to-end per-block forward latency through this host — upload,
+    // End-to-end per-block method latency through this host — upload,
     // execute, fetch, state retained on device — i.e. what an audio
     // callback would pay. Realtime budget = block_size / sampling_rate.
     int64_t n_blocks = argc > 3 ? atoll(argv[3]) : 256;
-    Method& m = host.Load("forward_step");
-    std::vector<float> xblock(
-        static_cast<size_t>(stream_batch) * block * n_channels);
+    std::string which = argc > 4 ? argv[4] : "forward";
+    Method& m = host.Load(which + "_step");
+    std::vector<float> xblock(m.inputs[m.n_state].elems());
     std::mt19937 rng(17);
     std::normal_distribution<float> nrm(0.f, 0.1f);
     std::vector<double> ms;
@@ -867,8 +867,8 @@ int main(int argc, char** argv) {
     printf("blocks: %lld x %lld samples (budget %.2f ms/block)\n",
            static_cast<long long>(n_blocks), static_cast<long long>(block),
            budget_ms);
-    printf("per-block forward: p50 %.3f ms  p95 %.3f ms  mean %.3f ms\n",
-           p50, p95, sum / ms.size());
+    printf("per-block %s: p50 %.3f ms  p95 %.3f ms  mean %.3f ms\n",
+           which.c_str(), p50, p95, sum / ms.size());
     printf("realtime headroom: %.1fx (p50), %.1fx (p95)\n", budget_ms / p50,
            budget_ms / p95);
     return 0;
