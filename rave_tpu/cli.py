@@ -115,6 +115,14 @@ def cmd_train_prior(argv):
     p.add_argument("--max_steps", type=int, default=1_000_000)
     p.add_argument("--val_every", type=int, default=10000)
     p.add_argument("--fidelity", type=float, default=0.95)
+    # prior architecture (the reference's prior_v1.gin bindings,
+    # rave/configs/prior/prior_v1.gin:1-8)
+    p.add_argument("--resolution", type=int, default=32)
+    p.add_argument("--res_size", type=int, default=512)
+    p.add_argument("--skp_size", type=int, default=256)
+    p.add_argument("--kernel_size", type=int, default=3)
+    p.add_argument("--cycle_size", type=int, default=4)
+    p.add_argument("--n_layers", type=int, default=10)
     p.add_argument("--smoke_test", action="store_true")
     a = p.parse_args(argv)
     from rave_tpu.prior.train import train_prior
@@ -122,7 +130,10 @@ def cmd_train_prior(argv):
     train_prior(
         run=a.run, db_path=a.db_path, name=a.name, out_path=a.out_path,
         batch=a.batch, n_signal=a.n_signal, max_steps=a.max_steps,
-        val_every=a.val_every, fidelity=a.fidelity, smoke_test=a.smoke_test,
+        val_every=a.val_every, fidelity=a.fidelity,
+        resolution=a.resolution, res_size=a.res_size, skp_size=a.skp_size,
+        kernel_size=a.kernel_size, cycle_size=a.cycle_size,
+        n_layers=a.n_layers, smoke_test=a.smoke_test,
     )
 
 
