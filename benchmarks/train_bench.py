@@ -44,5 +44,12 @@ def timed_steps(cfg_overrides, label, batch=8, n_signal=131072, iters=6):
 
 
 if __name__ == "__main__":
-    timed_steps([], "fp32")
-    timed_steps(["train.bf16=true"], "bf16")
+    which = sys.argv[1:] or ["fp32", "bf16"]
+    variants = {
+        "fp32": [],
+        "bf16": ["train.bf16=true"],
+        "bf16_dis": ["train.bf16_dis=true"],
+        "bf16_all": ["train.bf16=true", "train.bf16_dis=true"],
+    }
+    for name in which:
+        timed_steps(variants[name], name)

@@ -117,6 +117,10 @@ class TrainConfig:
     ema: Optional[float] = None
     remat: bool = False  # rematerialize the autoencoder in the bwd pass
     bf16: bool = False  # bf16 model compute, fp32 master weights + losses
+    # bf16 discriminator compute (adversarial phase). The critic stack
+    # dominates warmed-up step time; features are upcast to fp32 at the
+    # loss boundary and weight grads land fp32 via the per-op cast's vjp.
+    bf16_dis: bool = False
 
 
 @dataclass

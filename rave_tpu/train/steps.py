@@ -149,7 +149,16 @@ def build_train_steps(
         loss_dis = jnp.asarray(0.0)
         if warmed:
             xy = jnp.concatenate([x, out["y_raw"]], axis=0)
+            if t.bf16_dis:
+                # critic compute in bf16 (weights cast per-op, nn/conv.py);
+                # upcast features at the loss boundary — the converts fuse
+                # into the loss elementwise ops, so HBM traffic stays bf16
+                xy = xy.astype(jnp.bfloat16)
             features = discriminator.apply({"params": dis_params}, xy)
+            if t.bf16_dis:
+                features = jax.tree_util.tree_map(
+                    lambda f: f.astype(jnp.float32), features
+                )
             feat_real, feat_fake = _split_features(features)
             fm_total = 0.0
             adv_total = 0.0

@@ -97,3 +97,27 @@ def test_adversarial_and_dis_steps(setup):
     s, m = steps["dis"](s, x, jax.random.key(3), quantize=False)
     assert float(m["loss_dis"]) > 0
     assert int(s.step) == 2
+
+
+def test_bf16_discriminator_matches_fp32(setup):
+    """train.bf16_dis runs the critic in bf16 (weights cast per-op) with
+    fp32 losses/grads: adversarial losses stay finite and close to the
+    fp32 critic's, and the discriminator params still update."""
+    cfg, state, steps, x = setup
+    _, m_ref = steps["gen"](state, x, jax.random.key(2), warmed=True, quantize=False)
+
+    cfg2 = compose(["v2"], TINY + ["train.bf16_dis=true"])
+    model = build_rave(cfg2, n_channels=1, train=True)
+    dis = build_discriminator(cfg2, n_channels=1)
+    state2 = create_train_state(cfg2, model, dis, jax.random.key(0), n_signal=8192)
+    steps2 = build_train_steps(cfg2, model, dis, crop_frames=(1, 1))
+    s2, m2 = steps2["gen"](state2, x, jax.random.key(2), warmed=True, quantize=False)
+    for k in ("loss_gen", "feature_matching", "adversarial", "loss_dis"):
+        assert np.isfinite(float(m2[k])), k
+        # bf16 critic compute: same losses within bf16 tolerance
+        assert float(m2[k]) == pytest.approx(float(m_ref[k]), rel=0.05), k
+    # grads land fp32 on the masters and actually move them
+    s2, m2 = steps2["dis"](s2, x, jax.random.key(3), quantize=False)
+    leaf = jax.tree_util.tree_leaves(s2.dis_params)[0]
+    assert leaf.dtype == jnp.float32
+    assert np.isfinite(np.asarray(leaf)).all()
