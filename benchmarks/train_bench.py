@@ -15,12 +15,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed_steps(cfg_overrides, label, batch=8, n_signal=131072, iters=6):
+def timed_steps(cfg_overrides, label, batch=8, n_signal=131072, iters=6,
+                presets=("v2",)):
     from rave_tpu.config import compose
     from rave_tpu.factory import build_discriminator, build_rave
     from rave_tpu.train import build_train_steps, create_train_state
 
-    cfg = compose(["v2"], cfg_overrides)
+    cfg = compose(list(presets), cfg_overrides)
     model = build_rave(cfg, n_channels=1, train=True)
     dis = build_discriminator(cfg, n_channels=1)
     state = create_train_state(cfg, model, dis, jax.random.key(0), n_signal=n_signal)
@@ -46,10 +47,15 @@ def timed_steps(cfg_overrides, label, batch=8, n_signal=131072, iters=6):
 if __name__ == "__main__":
     which = sys.argv[1:] or ["fp32", "bf16"]
     variants = {
-        "fp32": [],
-        "bf16": ["train.bf16=true"],
-        "bf16_dis": ["train.bf16_dis=true"],
-        "bf16_all": ["train.bf16=true", "train.bf16_dis=true"],
+        "fp32": ([], ("v2",)),
+        "bf16": (["train.bf16=true"], ("v2",)),
+        "bf16_dis": (["train.bf16_dis=true"], ("v2",)),
+        "bf16_all": (["train.bf16=true", "train.bf16_dis=true"], ("v2",)),
+        "v3": ([], ("v3",)),
+        "v3_bf16_all": (
+            ["train.bf16=true", "train.bf16_dis=true"], ("v3",)
+        ),
     }
     for name in which:
-        timed_steps(variants[name], name)
+        ov, presets = variants[name]
+        timed_steps(ov, name, presets=presets)

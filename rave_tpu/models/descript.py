@@ -110,6 +110,8 @@ class MRD(nn.Module):
         # [B*C, frames, bins] -> [B, frames, bins, 2C]
         s = s.reshape(B, C, s.shape[1], s.shape[2])
         img = jnp.concatenate([s.real, s.imag], axis=1).transpose(0, 2, 3, 1)
+        # keep the conv stack in the caller's compute dtype (bf16_dis)
+        img = img.astype(x.dtype)
         n_fft = self.window_length // 2 + 1
         bands = [(int(a * n_fft), int(b * n_fft)) for a, b in self.bands]
 

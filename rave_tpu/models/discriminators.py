@@ -191,7 +191,7 @@ class MultiScaleSpectralDiscriminator1d(nn.Module):
             s = stft(flat, scale, scale // 4, center=False, normalized=True)
             # [B*C, F, bins] -> [B, F, 2*bins] channels-last (real ++ imag)
             spec = jnp.concatenate([s.real, s.imag], axis=-1)
-            spec = spec.reshape(x.shape[0], -1, spec.shape[-1])
+            spec = spec.reshape(x.shape[0], -1, spec.shape[-1]).astype(x.dtype)
             feats.append(
                 ConvNet(
                     out_size=1,
@@ -259,7 +259,7 @@ class MultiScaleSpectralDiscriminator(nn.Module):
             s = stft(flat, scale, scale // 4, center=False, normalized=True)
             s = s.reshape(B, C, s.shape[1], s.shape[2])  # [B, C, frames, bins]
             img = jnp.concatenate([s.real, s.imag], axis=1)  # [B, 2C, F, bins]
-            img = img.transpose(0, 3, 2, 1)  # [B, bins, frames, 2C]
+            img = img.transpose(0, 3, 2, 1).astype(x.dtype)  # [B, bins, frames, 2C]
             feats.append(
                 EncodecConvNet(capacity=self.capacity, name=f"enc_{scale}_{i}")(img)
             )

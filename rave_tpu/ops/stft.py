@@ -97,6 +97,10 @@ def stft(
     center=True reflect-pads n_fft//2 on both sides; normalized divides by
     the window's L2 norm.
     """
+    if x.dtype not in (jnp.float32, jnp.float64):
+        # XLA RFFT requires fp32/fp64 — upcast (e.g. bf16 discriminator
+        # inputs under train.bf16_dis); callers may cast outputs back down
+        x = x.astype(jnp.float32)
     if center:
         x = jnp.pad(x, [(0, 0), (n_fft // 2, n_fft // 2)], mode=pad_mode)
     frames = frame_signal(x, n_fft, hop)

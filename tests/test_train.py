@@ -121,3 +121,23 @@ def test_bf16_discriminator_matches_fp32(setup):
     leaf = jax.tree_util.tree_leaves(s2.dis_params)[0]
     assert leaf.dtype == jnp.float32
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_bf16_dis_spectral_discriminator():
+    """Spectral critics STFT their (bf16) input — ops/stft.py upcasts at
+    the FFT and the image returns in the compute dtype, so bf16_dis
+    composes with every discriminator family (caught live on v3)."""
+    cfg = compose(
+        ["v2", "spectral_discriminator"],
+        TINY + ["train.bf16_dis=true", "discriminator.capacity=2"],
+    )
+    model = build_rave(cfg, n_channels=1, train=True)
+    dis = build_discriminator(cfg, n_channels=1)
+    state = create_train_state(cfg, model, dis, jax.random.key(0), n_signal=8192)
+    steps = build_train_steps(cfg, model, dis, crop_frames=(1, 1))
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 8192, 1)) * 0.1, jnp.float32
+    )
+    _, m = steps["gen"](state, x, jax.random.key(2), warmed=True, quantize=False)
+    for k in ("loss_gen", "adversarial", "loss_dis"):
+        assert np.isfinite(float(m[k])), k
