@@ -150,3 +150,59 @@ def test_rvq_encode_decode_matches_reference(ref_quant):
     np.testing.assert_allclose(
         dec_ref, np.asarray(dec_our).transpose(0, 2, 1), atol=1e-6
     )
+
+
+@pytest.fixture(scope="module")
+def ref_prior_core():
+    return load_ref("rave/prior/core.py", "ref_prior_core")
+
+
+def test_prior_core_matches_reference(ref_prior_core):
+    """QuantizedNormal (erf-CDF binning, one-hot stacking, dither-free
+    decode) and DiagonalShift match rave/prior/core.py:6-75 exactly up to
+    the channels-last transpose."""
+    from rave_tpu.prior.core import DiagonalShift, QuantizedNormal
+
+    rng = np.random.default_rng(7)
+    D, R, B, T = 4, 16, 2, 12
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 2, 1))  # reference is [B, D, T]
+
+    qn = QuantizedNormal(R, dither=False)
+    ref = ref_prior_core.QuantizedNormal(R, dither=False)
+    ours_oh = np.asarray(qn.encode(jnp.asarray(x)))
+    ref_oh = ref.encode(xt).numpy()
+    np.testing.assert_array_equal(ours_oh, ref_oh.transpose(0, 2, 1))
+
+    ours_dec = np.asarray(qn.decode(jnp.asarray(ours_oh)))
+    ref_dec = ref.decode(torch.from_numpy(ref_oh)).numpy()
+    np.testing.assert_allclose(
+        ours_dec, ref_dec.transpose(0, 2, 1), atol=1e-5
+    )
+
+    ds, rds = DiagonalShift(), ref_prior_core.DiagonalShift()
+    np.testing.assert_allclose(
+        np.asarray(ds(jnp.asarray(x))),
+        rds(xt).numpy().transpose(0, 2, 1),
+        atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ds.inverse(jnp.asarray(x))),
+        rds.inverse(xt).numpy().transpose(0, 2, 1),
+        atol=0,
+    )
+
+
+def test_gan_losses_match_reference(ref_core):
+    from rave_tpu.ops import dsp as our
+
+    rng = np.random.default_rng(3)
+    sr = rng.standard_normal((4, 33)).astype(np.float32)
+    sf = rng.standard_normal((4, 33)).astype(np.float32)
+    for name in ("hinge_gan", "ls_gan", "nonsaturating_gan"):
+        rd, rg = getattr(ref_core, name)(
+            torch.from_numpy(sr), torch.from_numpy(sf)
+        )
+        od, og = getattr(our, name)(jnp.asarray(sr), jnp.asarray(sf))
+        np.testing.assert_allclose(float(od), float(rd), atol=1e-6)
+        np.testing.assert_allclose(float(og), float(rg), atol=1e-6)
