@@ -31,7 +31,12 @@ def export_portable(
     model = build_rave(cfg, n_channels=n_channels, train=False)
     variables = {"params": params, **model_state}
 
-    def forward(variables, x, rng):
+    # params/buffers are baked into the module as constants (same contract
+    # as the .rtpu AOT methods): consumers feed only (x, seed) — the
+    # reference's .onnx likewise carries its weights inline.
+    def forward(x, seed):
+        rng = jax.random.key(seed)
+
         def run_fn(mdl):
             z = mdl.encoder(mdl.transform_input(x))
             zs, _ = mdl.reparametrize(z, rng=rng)
@@ -40,20 +45,30 @@ def export_portable(
         return model.apply(variables, method=run_fn, rngs={"noise": rng})
 
     x = jnp.zeros((batch, n_signal, n_channels), jnp.float32)
-    rng = jax.random.key(0)
+    seed = jnp.uint32(0)
 
     out_dir = Path(output or run_dir) / f"{cfg.name}_portable"
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from jax import export as jex
 
-    exp = jex.export(jax.jit(forward))(variables, x, rng)
+    exp = jex.export(jax.jit(forward))(x, seed)
     (out_dir / "forward.stablehlo").write_bytes(exp.serialize())
+    (out_dir / "forward.mlir").write_bytes(exp.mlir_module_serialized)
     (out_dir / "manifest.json").write_text(
         json.dumps(
             {
                 "format": "stablehlo-v1",
                 "input": [batch, n_signal, n_channels],
+                "inputs": [
+                    {"shape": [int(d) for d in a.shape], "dtype": str(a.dtype)}
+                    for a in exp.in_avals
+                ],
+                "outputs": [
+                    {"shape": [int(d) for d in a.shape], "dtype": str(a.dtype)}
+                    for a in exp.out_avals
+                ],
+                "kept_inputs": [int(i) for i in exp.module_kept_var_idx],
                 "sampling_rate": cfg.sampling_rate,
                 "config": config_lib.to_dict(cfg),
             },
@@ -68,7 +83,7 @@ def export_portable(
 
         f_tf = tf.function(
             jax2tf.convert(
-                lambda xx: forward(variables, xx, jax.random.key(0)),
+                lambda xx: forward(xx, jnp.uint32(0)),
                 with_gradient=False,
             ),
             autograph=False,

@@ -263,3 +263,50 @@ def test_aot_threads_adain_state(tmp_path):
             assert any(
                 p == op["leaf"] or p.endswith("/" + op["leaf"]) for p in leaves
             ), (name, op, leaves)
+
+
+@pytest.mark.slow
+def test_portable_export_deserializes_and_matches(tmp_path):
+    """export_onnx analog (export/portable.py): the full-graph StableHLO
+    module carries its weights as baked constants — deserializing it and
+    feeding only (x, seed) must reproduce the live model's offline
+    forward."""
+    import numpy as np
+    from jax import export as jex
+
+    from rave_tpu.export.portable import export_portable
+
+    cfg, run_dir = _make_run(tmp_path, ["v2"])
+    out = Path(export_portable(run=str(run_dir), n_signal=8192, batch=1))
+    manifest = json.loads((out / "manifest.json").read_text())
+    # only x + seed are runtime inputs
+    assert len(manifest["inputs"]) == 2
+    assert manifest["inputs"][0]["shape"] == [1, 8192, 1]
+    assert manifest["kept_inputs"] == list(range(len(manifest["inputs"])))
+
+    exp = jex.deserialize((out / "forward.stablehlo").read_bytes())
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 8192, 1)) * 0.2,
+        jnp.float32,
+    )
+    y = np.asarray(exp.call(x, jnp.uint32(3)))
+
+    # live replay of the same graph
+    from rave_tpu.export.export import load_run
+    from rave_tpu.factory import build_rave
+
+    cfg2, params, model_state, n_channels, _ = load_run(str(run_dir))
+    model = build_rave(cfg2, n_channels=n_channels, train=False)
+    variables = {"params": params, **model_state}
+    rng = jax.random.key(jnp.uint32(3))
+
+    def run_fn(mdl):
+        z = mdl.encoder(mdl.transform_input(x))
+        zs, _ = mdl.reparametrize(z, rng=rng)
+        return mdl.decode(zs)
+
+    y_ref = np.asarray(
+        model.apply(variables, method=run_fn, rngs={"noise": rng})
+    )
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)
