@@ -106,3 +106,13 @@ def test_cli_full_pipeline(corpus, tmp_path):
     assert len(run_dirs) == 1, "resume must reuse the run dir, not fork one"
     ckpts_after = {p.name for p in (run_dir / "checkpoints").iterdir()}
     assert ckpts_after - ckpts_before, "resumed run saved no new checkpoint"
+
+    # 6. train a tiny latent prior on the frozen run (scripts/train_prior.py)
+    _cli(["train_prior", "--run", run_dir, "--db_path", db, "--name", "p",
+          "--out_path", runs, "--batch", 8, "--n_signal", N_SIGNAL,
+          "--max_steps", 2, "--val_every", 100, "--resolution", 8,
+          "--res_size", 16, "--skp_size", 16, "--n_layers", 2,
+          "--cycle_size", 2, "--smoke_test"])
+    prior_dir = runs / "p_prior"
+    assert (prior_dir / "prior_config.json").exists()
+    assert any(prior_dir.glob("checkpoints/*")), "prior saved no checkpoint"
