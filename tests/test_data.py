@@ -286,3 +286,83 @@ def test_augmentation_json_and_file_specs(tmp_path):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         T.get_augmentations(["nope"], 44100)
+
+
+def test_lazy_dataset_index_routing(tmp_path, monkeypatch):
+    """LazyAudioDataset chunk routing (reference rave/dataset.py:118-156):
+    cumsum index maps a flat chunk id to (file, offset) with per-file
+    remainders dropped; decode is invoked with the right seek second.
+    ffmpeg itself is stubbed so the routing math tests everywhere."""
+    import json as _json
+
+    import yaml as _yaml
+
+    from rave_tpu.data import dataset as ds
+
+    sr, n_signal = 1000, 100
+    entries = [
+        {"path": "/corpus/a.wav", "length": 250},  # 2 chunks (50 dropped)
+        {"path": "/corpus/b.wav", "length": 99},   # 0 chunks
+        {"path": "/corpus/c.wav", "length": 400},  # 4 chunks
+    ]
+    (tmp_path / "entries.json").write_text(_json.dumps(entries))
+    (tmp_path / "metadata.yaml").write_text(
+        _yaml.safe_dump(
+            {"lazy": True, "sr": sr, "channels": 1, "num_signal": n_signal}
+        )
+    )
+
+    calls = []
+
+    def fake_decode(path, start_sec, n, sr_, channels):
+        calls.append((path, start_sec))
+        return np.full((n, channels), 16384, np.int16)
+
+    monkeypatch.setattr(ds, "decode_slice_ffmpeg", fake_decode)
+    d = ds.LazyAudioDataset(str(tmp_path), n_signal)
+    assert len(d) == 6
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        x = d.get(i, rng)
+        assert x.shape == (n_signal, 1)
+        np.testing.assert_allclose(x, 16384 / 32767.0)
+    assert calls == [
+        ("/corpus/a.wav", 0.0),
+        ("/corpus/a.wav", 0.1),
+        ("/corpus/c.wav", 0.0),
+        ("/corpus/c.wav", 0.1),
+        ("/corpus/c.wav", 0.2),
+        ("/corpus/c.wav", 0.3),
+    ]
+
+
+@pytest.mark.skipif(
+    not __import__("rave_tpu.data.audio_io", fromlist=["have_ffmpeg"]).have_ffmpeg(),
+    reason="lazy preprocessing requires ffmpeg/ffprobe",
+)
+def test_lazy_preprocess_end_to_end(tmp_path):
+    """`rave-tpu preprocess --lazy` + LazyAudioDataset round trip (runs on
+    CI hosts with ffmpeg installed)."""
+    from scipy.io import wavfile
+
+    from rave_tpu.data.dataset import LazyAudioDataset
+    from rave_tpu.data.preprocess import preprocess
+
+    sr, n_signal = 22050, 4096
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    t = np.arange(4 * n_signal) / sr
+    wavfile.write(
+        corpus / "a.wav", sr,
+        (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16),
+    )
+    meta = preprocess(
+        str(corpus), str(tmp_path / "db"), n_signal, sr, 1, lazy=True,
+        workers=1,
+    )
+    assert meta["lazy"] is True
+    d = LazyAudioDataset(str(tmp_path / "db"), n_signal)
+    assert len(d) == 4
+    x = d.get(1, np.random.default_rng(0))
+    assert x.shape == (n_signal, 1)
+    assert np.abs(x).max() > 0.1
