@@ -356,11 +356,22 @@ class ExportedRAVE:
     # ---- public surface --------------------------------------------------
     def encode(self, x, streaming: bool = False):
         """[B, T, C] waveform @ target_sr -> [B, T_lat, latent_size]."""
+        if streaming and x.shape[1] % self.block_size != 0:
+            raise ValueError(
+                f"streaming chunks must be a multiple of block_size="
+                f"{self.block_size} (got {x.shape[1]} samples)"
+            )
         x = self._resample(x, "in", streaming)
         return self._apply("encode", x, streaming=streaming)
 
     def decode(self, z, streaming: bool = False):
         """[B, T_lat, latent_size] -> [B, T, C] waveform @ target_sr."""
+        fpb = self.manifest["block_size"] // self.cfg.decimation()
+        if streaming and z.shape[1] % fpb != 0:
+            raise ValueError(
+                f"streaming latent chunks must be a multiple of "
+                f"{fpb} frames (got {z.shape[1]})"
+            )
         y = self._apply("decode", z, streaming=streaming)
         return self._resample(y, "out", streaming)
 

@@ -34,6 +34,11 @@ def generate(
     art = ExportedRAVE(str(p))
     sr = art.manifest.get("target_sampling_rate", art.manifest["sampling_rate"])
     block = chunk_size or art.block_size
+    if streaming and block % art.block_size != 0:
+        raise ValueError(
+            f"--chunk_size must be a multiple of the artifact's block size "
+            f"{art.block_size} (got {block})"
+        )
     out_dir = Path(out_path)
     out_dir.mkdir(parents=True, exist_ok=True)
 
