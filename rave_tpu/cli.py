@@ -194,6 +194,62 @@ def cmd_generate(argv):
     )
 
 
+def cmd_import_torch(argv):
+    """Migrate a trained PyTorch reference checkpoint (acids-ircam/RAVE
+    .ckpt) into a run directory this framework can export/generate from."""
+    p = argparse.ArgumentParser("rave-tpu import_torch")
+    _add_config_flags(p)
+    p.add_argument("--ckpt", required=True, help="reference .ckpt file")
+    p.add_argument("--name", required=True)
+    p.add_argument("--out_path", default="runs")
+    p.add_argument("--channels", type=int, default=1)
+    p.add_argument(
+        "--ema_weights", action="store_true",
+        help="import the EMA shadow (ckpt['callbacks']['EMA']) instead of "
+        "the live weights (reference scripts/export.py:507-511)",
+    )
+    a = p.parse_args(argv)
+
+    import jax
+
+    jax.devices()  # initialize the backend before torch (DEVNOTES.md)
+    import torch
+
+    from rave_tpu import config as config_lib
+    from rave_tpu.factory import build_discriminator, build_rave
+    from rave_tpu.train.loop import make_run_dir
+    from rave_tpu.train.state import create_train_state
+    from rave_tpu.utils.checkpoint import save_checkpoint
+    from rave_tpu.utils.import_torch import import_reference_checkpoint
+
+    ckpt = torch.load(a.ckpt, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    if a.ema_weights:
+        ema = ckpt.get("callbacks", {}).get("EMA")
+        if not ema:
+            raise SystemExit("checkpoint has no EMA callback state")
+        sd = {**sd, **ema}
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+    cfg = config_lib.compose(a.config or ["v2"], a.override)
+    cfg.data.n_channels = a.channels
+    model = build_rave(cfg, n_channels=a.channels, train=True)
+    dis = build_discriminator(cfg, n_channels=a.channels)
+    state = create_train_state(
+        cfg, model, dis, jax.random.key(0), n_channels=a.channels
+    )
+    params, buffers = import_reference_checkpoint(
+        sd, state.gen_params, state.model_state.get("buffers", {})
+    )
+    state = state.replace(
+        gen_params=params,
+        model_state={**state.model_state, "buffers": buffers},
+    )
+    run_dir = make_run_dir(a.out_path, a.name, cfg)
+    save_checkpoint(str(run_dir), 0, jax.device_get(state))
+    print(f"imported into: {run_dir}")
+
+
 def cmd_remote_dataset(argv):
     p = argparse.ArgumentParser("rave-tpu remote_dataset")
     p.add_argument("--db_path", required=True)
@@ -211,6 +267,7 @@ COMMANDS = {
     "export": cmd_export,
     "export_onnx": cmd_export_onnx,
     "generate": cmd_generate,
+    "import_torch": cmd_import_torch,
     "remote_dataset": cmd_remote_dataset,
 }
 

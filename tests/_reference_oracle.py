@@ -42,10 +42,83 @@ def _pl_stub():
 def _simple(name):
     return types.ModuleType(name)
 
+def _cc_functional():
+    """Functional offline-mode cached_conv shim: numerically identical to
+    the real package with use_cached_conv(False) (drop-in nn.Conv1d /
+    ConvTranspose1d with explicit (left, right) padding; sequential and
+    branch combinators are plain containers with zero delay). state_dict
+    key layout matches the real package (subclasses of the torch modules,
+    `branches` ModuleList), so reference checkpoints map through
+    rave_tpu/utils/import_torch.py unchanged."""
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    cc = types.ModuleType("cached_conv")
+    cc.USE_BUFFER_CONV = False
+    cc.MAX_BATCH_SIZE = 8
+    cc.use_cached_conv = lambda b: setattr(cc, "USE_BUFFER_CONV", b)
+
+    def get_padding(kernel_size, stride=1, dilation=1, mode="centered"):
+        total = max(0, dilation * (kernel_size - 1) + 1 - stride)
+        if mode == "centered":
+            right = total // 2
+            return (total - right, right)
+        return (total, 0)
+
+    cc.get_padding = get_padding
+
+    class Conv1d(tnn.Conv1d):
+        def __init__(self, *args, padding=0, cumulative_delay=0, **kwargs):
+            super().__init__(*args, **kwargs)
+            self._pad = (
+                tuple(padding)
+                if isinstance(padding, (tuple, list))
+                else (padding, padding)
+            )
+            self.cumulative_delay = 0
+
+        def forward(self, x):
+            return super().forward(F.pad(x, self._pad))
+
+    class ConvTranspose1d(tnn.ConvTranspose1d):
+        def __init__(self, *args, cumulative_delay=0, **kwargs):
+            super().__init__(*args, **kwargs)
+            self.cumulative_delay = 0
+
+    class CachedSequential(tnn.Sequential):
+        def __init__(self, *modules, cumulative_delay=0, stride=1):
+            super().__init__(*modules)
+            self.cumulative_delay = 0
+
+    class AlignBranches(tnn.Module):
+        def __init__(self, *branches, delays=None, cumulative_delay=0,
+                     stride=1, futures=None):
+            super().__init__()
+            self.branches = tnn.ModuleList(branches)
+            self.cumulative_delay = 0
+
+        def forward(self, x):
+            return [b(x) for b in self.branches]
+
+    class CachedPadding1d(tnn.Module):
+        def __init__(self, padding, crop=False):
+            super().__init__()
+            self.padding = padding
+
+        def forward(self, x):
+            return F.pad(x, (self.padding, 0))
+
+    cc.Conv1d = Conv1d
+    cc.ConvTranspose1d = ConvTranspose1d
+    cc.CachedSequential = CachedSequential
+    cc.AlignBranches = AlignBranches
+    cc.CachedPadding1d = CachedPadding1d
+    return cc
+
 def load_ref(relpath: str, modname: str):
     stubs = {
         "gin": _gin_stub(),
-        "cached_conv": _simple("cached_conv"),
+        "cached_conv": _cc_functional(),
         "GPUtil": _simple("GPUtil"),
         "librosa": _simple("librosa"),
         "lmdb": _simple("lmdb"),
@@ -59,6 +132,11 @@ def load_ref(relpath: str, modname: str):
             sys.modules[n] = m
             inserted.append(n)
     src = (REF / relpath).read_text()
+    if "from .core import" in src:
+        # resolve the one relative import against an already-loaded core
+        core = load_ref("rave/core.py", modname + "_core")
+        sys.modules[modname + "_core"] = core
+        src = src.replace("from .core import", f"from {modname}_core import")
     # scipy >= 1.13 moved kaiser to scipy.signal.windows
     src = src.replace(
         "from scipy.signal import firwin, kaiser, kaiser_beta, kaiserord",

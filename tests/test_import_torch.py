@@ -1,0 +1,215 @@
+"""Verified migration path: reference PyTorch checkpoints -> rave_tpu.
+
+The reference's actual EncoderV2/GeneratorV2 (rave/blocks.py) run under
+torch through the functional cached_conv shim (tests/_reference_oracle.py,
+offline mode), their state_dict is imported via
+rave_tpu/utils/import_torch.py, and both frameworks' forwards are
+compared numerically on the same input."""
+import functools
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests._reference_oracle import load_ref
+
+DATA = dict(capacity=4, ratios=[4, 2], latent_size=8, kernel_size=3,
+            dilations=[[1, 3], [1]])
+DS = 16  # multiband data size
+T = 128  # decimated input length
+
+
+@pytest.fixture(scope="module")
+def refblocks():
+    rb = load_ref("rave/blocks.py", "refblocks_imp")
+    # stock configs bind weight_norm + bias-free convs (v1.gin:33-41)
+    rb.normalization = lambda m, mode="weight_norm": (
+        torch.nn.utils.weight_norm(m)
+    )
+    cc0 = rb.cc
+    ccb = types.SimpleNamespace(
+        **{k: getattr(cc0, k) for k in dir(cc0) if not k.startswith("_")}
+    )
+    ccb.Conv1d = functools.partial(cc0.Conv1d, bias=False)
+    ccb.ConvTranspose1d = functools.partial(cc0.ConvTranspose1d, bias=False)
+    rb.cc = ccb
+    return rb
+
+
+def _sd_numpy(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def test_encoder_import_matches_torch(refblocks):
+    from rave_tpu.models.blocks import EncoderV2
+    from rave_tpu.utils.import_torch import import_module_state
+
+    torch.manual_seed(0)
+    tenc = refblocks.EncoderV2(data_size=DS, n_out=2, **DATA)
+    ours = EncoderV2(
+        data_size=DS, n_out=2, capacity=DATA["capacity"],
+        ratios=tuple(DATA["ratios"]), latent_size=DATA["latent_size"],
+        kernel_size=DATA["kernel_size"],
+        dilations=tuple(tuple(d) for d in DATA["dilations"]),
+        weight_norm=True,
+    )
+    template = jax.jit(ours.init)(
+        {"params": jax.random.key(0)}, jnp.zeros((1, T, DS))
+    )["params"]
+    imported = import_module_state(_sd_numpy(tenc), template)
+
+    x = np.random.default_rng(0).standard_normal((1, T, DS)).astype(np.float32)
+    with torch.no_grad():
+        z_t = tenc(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    z_j = np.asarray(ours.apply({"params": imported}, jnp.asarray(x)))
+    np.testing.assert_allclose(z_j, z_t.transpose(0, 2, 1), atol=2e-5)
+
+
+def test_generator_import_matches_torch(refblocks):
+    from rave_tpu.models.blocks import GeneratorV2
+    from rave_tpu.utils.import_torch import import_module_state
+
+    torch.manual_seed(1)
+    tgen = refblocks.GeneratorV2(
+        data_size=DS, amplitude_modulation=True, **DATA
+    )
+    ours = GeneratorV2(
+        data_size=DS, amplitude_modulation=True,
+        capacity=DATA["capacity"], ratios=tuple(DATA["ratios"]),
+        latent_size=DATA["latent_size"], kernel_size=DATA["kernel_size"],
+        dilations=tuple(tuple(d) for d in DATA["dilations"]),
+        weight_norm=True,
+    )
+    z = np.random.default_rng(1).standard_normal(
+        (1, T // 8, DATA["latent_size"])
+    ).astype(np.float32)
+    template = jax.jit(ours.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.asarray(z),
+    )["params"]
+    imported = import_module_state(_sd_numpy(tgen), template)
+
+    with torch.no_grad():
+        y_t = tgen(torch.from_numpy(z.transpose(0, 2, 1))).numpy()
+    y_j = np.asarray(
+        ours.apply(
+            {"params": imported}, jnp.asarray(z),
+            rngs={"noise": jax.random.key(2)},
+        )
+    )
+    np.testing.assert_allclose(y_j, y_t.transpose(0, 2, 1), atol=2e-5)
+
+
+def test_full_checkpoint_import_structure(refblocks):
+    """A reference-layout RAVE state_dict (encoder.encoder.* / decoder.* /
+    latent buffers) lands exactly on build_rave's param tree."""
+    from rave_tpu import config as config_lib
+    from rave_tpu.factory import build_rave
+    from rave_tpu.utils.import_torch import import_reference_checkpoint
+
+    torch.manual_seed(2)
+    cfg = config_lib.compose(
+        ["v2"],
+        ["capacity=4", "latent_size=8", "ratios=[4,2]",
+         "dilations=[[1,3],[1]]", "n_band=16"],
+    )
+    tenc = refblocks.EncoderV2(data_size=16, n_out=2, **DATA)
+    tgen = refblocks.GeneratorV2(
+        data_size=16, amplitude_modulation=True, **DATA
+    )
+    sd = {}
+    for k, v in _sd_numpy(tenc).items():
+        sd[f"encoder.encoder.{k}"] = v
+    for k, v in _sd_numpy(tgen).items():
+        sd[f"decoder.{k}"] = v
+    rng = np.random.default_rng(3)
+    sd["latent_pca"] = rng.standard_normal((8, 8)).astype(np.float32)
+    sd["latent_mean"] = rng.standard_normal(8).astype(np.float32)
+    sd["fidelity"] = np.linspace(0, 1, 8).astype(np.float32)
+
+    model = build_rave(cfg, n_channels=1, train=True)
+    tmpl = jax.jit(model.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 16 * T, 1)),
+    )
+    params, buffers = import_reference_checkpoint(
+        sd, tmpl["params"], tmpl["buffers"]
+    )
+    # identical tree structure and shapes -> drop-in for the template
+    ref_struct = jax.tree_util.tree_structure(tmpl["params"])
+    got_struct = jax.tree_util.tree_structure(params)
+    assert ref_struct == got_struct
+    jax.tree_util.tree_map(
+        lambda a, b: None if a.shape == b.shape else (_ for _ in ()).throw(
+            AssertionError((a.shape, b.shape))
+        ),
+        tmpl["params"], params,
+    )
+    np.testing.assert_array_equal(buffers["latent_pca"], sd["latent_pca"])
+    # the imported model runs end to end (pqmf -> encoder -> decoder -> pqmf)
+    y = model.apply(
+        {"params": params, "buffers": buffers}, jnp.zeros((1, 16 * T, 1)),
+        rngs={"noise": jax.random.key(2)},
+    )
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(y)[0])).all()
+
+
+@pytest.mark.slow
+def test_import_torch_cli_roundtrip(refblocks, tmp_path):
+    """`rave-tpu import_torch` on a reference-layout .ckpt produces a run
+    dir that exports and reconstructs audio."""
+    import json
+    from pathlib import Path
+
+    from scipy.io import wavfile
+
+    torch.manual_seed(3)
+    tenc = refblocks.EncoderV2(data_size=16, n_out=2, **DATA)
+    tgen = refblocks.GeneratorV2(
+        data_size=16, amplitude_modulation=True, **DATA
+    )
+    sd = {}
+    for k, v in tenc.state_dict().items():
+        sd[f"encoder.encoder.{k}"] = v
+    for k, v in tgen.state_dict().items():
+        sd[f"decoder.{k}"] = v
+    sd["latent_pca"] = torch.eye(8)
+    sd["latent_mean"] = torch.zeros(8)
+    sd["fidelity"] = torch.linspace(0, 1, 8)
+    ckpt = tmp_path / "reference.ckpt"
+    torch.save({"state_dict": sd}, ckpt)
+
+    from rave_tpu.cli import main
+
+    overrides = [
+        "capacity=4", "latent_size=8", "ratios=[4,2]",
+        "dilations=[[1,3],[1]]", "n_band=16", "data.n_signal=8192",
+        "discriminator.capacity=2",
+    ]
+    args = ["import_torch", "--ckpt", str(ckpt), "--config", "v2",
+            "--name", "mig", "--out_path", str(tmp_path / "runs")]
+    for o in overrides:
+        args += ["--override", o]
+    assert main(args) == 0
+    run_dirs = list((tmp_path / "runs").iterdir())
+    assert len(run_dirs) == 1
+
+    assert main(["export", "--run", str(run_dirs[0]), "--streaming"]) == 0
+    arts = list(run_dirs[0].glob("*.rtpu"))
+    assert len(arts) == 1
+    manifest = json.loads((arts[0] / "manifest.json").read_text())
+    assert "error" not in manifest["aot"]["forward_step"]
+
+    sr = manifest["sampling_rate"]
+    t = np.arange(sr) / sr
+    wav = tmp_path / "in.wav"
+    wavfile.write(
+        wav, sr, (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    )
+    assert main(["generate", "--model", str(arts[0]), "--input", str(wav),
+                 "--out_path", str(tmp_path / "gen")]) == 0
+    assert (tmp_path / "gen" / "in_reconstructed.wav").exists()
