@@ -181,30 +181,68 @@ def import_module_state(
     return out
 
 
+def import_rvq_state(
+    sd: Mapping[str, np.ndarray], codebook_template: Mapping
+) -> dict:
+    """Map a reference ResidualVectorQuantization state_dict (keys
+    `layers.{i}._codebook.{inited,cluster_size,embed,embed_avg}`,
+    rave/quantization.py:59-181) onto this framework's `codebook`
+    collection (`vq_{i}/codebook/...`, same [K, D] orientation)."""
+    out: dict = {}
+    for key, val in sd.items():
+        parts = key.split(".")
+        if (
+            len(parts) == 4
+            and parts[0] == "layers"
+            and parts[2] == "_codebook"
+        ):
+            i, leaf = parts[1], parts[3]
+            path = (f"vq_{i}", "codebook", leaf)
+            tgt = _leaf(codebook_template, path)
+            if tgt is None:
+                raise KeyError(
+                    f"rvq '{key}' has no counterpart at {'/'.join(path)}"
+                )
+            _set_leaf(
+                out, path,
+                np.asarray(val, np.float32).reshape(np.shape(tgt)),
+            )
+        else:
+            raise NotImplementedError(
+                f"unsupported rvq parameter '{key}' (projected codebooks "
+                f"are not used by the reference's stock configs)"
+            )
+    return out
+
+
 def import_reference_checkpoint(
     state_dict: Mapping[str, np.ndarray], params_template: Mapping,
-    buffers_template: Mapping,
-) -> Tuple[dict, dict]:
+    buffers_template: Mapping, codebook_template: Mapping = None,
+) -> Tuple[dict, dict, dict]:
     """Full-checkpoint entry: split a reference RAVE state_dict (the
     `.ckpt`'s `state_dict` with the `model.` Lightning prefix stripped if
-    present) into encoder/decoder subtrees and the latent buffers.
+    present) into encoder/decoder subtrees, the latent buffers, and —
+    for discrete models — the RVQ codebooks.
 
-    Returns (params, buffers) matching this framework's
+    Returns (params, buffers, codebook-or-None) matching this framework's
     {'encoder': {'encoder': ...}, 'decoder': ...} layout. PQMF /
     discriminator / audio-distance entries are skipped (derived or
     training-only)."""
-    enc_sd, dec_sd = {}, {}
+    enc_sd, dec_sd, rvq_sd = {}, {}, {}
     buffers = dict(buffers_template)
     for key, val in state_dict.items():
         k = key[len("model.") :] if key.startswith("model.") else key
         if k.startswith("encoder.encoder."):
             enc_sd[k[len("encoder.encoder.") :]] = val
+        elif k.startswith("encoder.rvq."):
+            rvq_sd[k[len("encoder.rvq.") :]] = val
         elif k.startswith("decoder."):
             dec_sd[k[len("decoder.") :]] = val
         elif k in ("latent_pca", "latent_mean", "fidelity"):
             buffers[k] = np.asarray(val, np.float32)
         # pqmf.* (derived filters), discriminator.*, audio_distance.*
-        # (STFT windows), receptive_field: not imported
+        # (STFT windows), encoder.warmed_up/enabled (static flags here),
+        # receptive_field: not imported
 
     params = {
         "encoder": {
@@ -214,4 +252,18 @@ def import_reference_checkpoint(
         },
         "decoder": import_module_state(dec_sd, params_template["decoder"]),
     }
-    return params, buffers
+    codebook = None
+    if rvq_sd:
+        if codebook_template is None:
+            raise ValueError(
+                "checkpoint carries RVQ codebooks but no codebook template "
+                "was given — is the config a discrete preset?"
+            )
+        codebook = {
+            "encoder": {
+                "rvq": import_rvq_state(
+                    rvq_sd, codebook_template["encoder"]["rvq"]
+                )
+            }
+        }
+    return params, buffers, codebook

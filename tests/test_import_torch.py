@@ -136,9 +136,10 @@ def test_full_checkpoint_import_structure(refblocks):
         {"params": jax.random.key(0), "noise": jax.random.key(1)},
         jnp.zeros((1, 16 * T, 1)),
     )
-    params, buffers = import_reference_checkpoint(
+    params, buffers, codebook = import_reference_checkpoint(
         sd, tmpl["params"], tmpl["buffers"]
     )
+    assert codebook is None
     # identical tree structure and shapes -> drop-in for the template
     ref_struct = jax.tree_util.tree_structure(tmpl["params"])
     got_struct = jax.tree_util.tree_structure(params)
@@ -213,3 +214,43 @@ def test_import_torch_cli_roundtrip(refblocks, tmp_path):
     assert main(["generate", "--model", str(arts[0]), "--input", str(wav),
                  "--out_path", str(tmp_path / "gen")]) == 0
     assert (tmp_path / "gen" / "in_reconstructed.wav").exists()
+
+
+def test_rvq_codebook_import_matches_torch():
+    """Discrete family: reference RVQ codebooks (layers.N._codebook.*)
+    import into the `codebook` collection and decode identically."""
+    from rave_tpu.models.quantization import ResidualVectorQuantization
+    from rave_tpu.utils.import_torch import import_rvq_state
+
+    ref_quant = load_ref("rave/quantization.py", "ref_quant_imp")
+    torch.manual_seed(4)
+    Q, K, D, B, T = 2, 16, 4, 2, 12
+    trvq = ref_quant.ResidualVectorQuantization(
+        num_quantizers=Q, dim=D, codebook_size=K, kmeans_init=False
+    )
+    with torch.no_grad():
+        for layer in trvq.layers:
+            layer._codebook.embed.normal_()
+            layer._codebook.embed_avg.copy_(layer._codebook.embed)
+            layer._codebook.cluster_size.fill_(3.0)
+
+    ours = ResidualVectorQuantization(
+        num_quantizers=Q, dim=D, codebook_size=K, kmeans_init=False
+    )
+    x0 = jnp.zeros((1, 4, D))
+    tmpl = jax.jit(ours.init)({"params": jax.random.key(0)}, x0)
+    sd = {k: v.numpy() for k, v in trvq.state_dict().items()}
+    cb = import_rvq_state(sd, tmpl["codebook"])
+
+    z = np.random.default_rng(5).standard_normal((B, T, D)).astype(np.float32)
+    with torch.no_grad():
+        idx_t = trvq.encode(torch.from_numpy(z.transpose(0, 2, 1))).numpy()
+        dec_t = trvq.decode(torch.from_numpy(idx_t)).numpy()
+    idx_j = np.asarray(
+        ours.apply({"codebook": cb}, jnp.asarray(z), method="encode")
+    )
+    np.testing.assert_array_equal(idx_j, idx_t)
+    dec_j = np.asarray(
+        ours.apply({"codebook": cb}, jnp.asarray(idx_j), method="decode")
+    )
+    np.testing.assert_allclose(dec_j, dec_t.transpose(0, 2, 1), atol=1e-6)
