@@ -51,14 +51,25 @@ def _decompose(w_kio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return w_kio.astype(np.float32), norm.astype(np.float32)
 
 
+# AdaIN runtime statistics (reference rave/blocks.py:863-926): inference-
+# time state learned by the artifact's attributes, not trained weights —
+# a migrated model starts them fresh (zeros/ones) like a new export.
+_ADAIN_STATE = (
+    "mean_x", "std_x", "learn_x", "num_update_x",
+    "mean_y", "std_y", "learn_y", "num_update_y",
+)
+
+
 def _group_convs(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
     """Group state_dict entries by module path; each group holds the
-    weight(_v/_g)/bias tensors of one conv."""
+    weight(_v/_g)/bias tensors of one conv (or a Snake alpha)."""
     groups: Dict[str, dict] = {}
     for key, val in sd.items():
         path, _, leaf = key.rpartition(".")
-        if leaf in ("weight_v", "weight_g", "weight", "bias"):
+        if leaf in ("weight_v", "weight_g", "weight", "bias", "alpha"):
             groups.setdefault(path, {})[leaf] = np.asarray(val)
+        elif leaf in _ADAIN_STATE:
+            continue
         else:
             raise NotImplementedError(
                 f"unsupported reference parameter '{key}' (GRU/recurrent "
@@ -133,6 +144,12 @@ def import_module_state(
                 f"config mismatch?"
             )
 
+        if set(grp) == {"alpha"}:  # Snake activation [dim, 1] -> [dim]
+            a = np.asarray(grp["alpha"], np.float32).reshape(
+                np.shape(target["alpha"])
+            )
+            _set_leaf(out, our_path + ("alpha",), a)
+            continue
         if "weight_v" in grp:
             w = _effective_weight(grp["weight_v"], grp["weight_g"])
         else:

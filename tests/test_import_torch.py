@@ -254,3 +254,52 @@ def test_rvq_codebook_import_matches_torch():
         ours.apply({"codebook": cb}, jnp.asarray(idx_j), method="decode")
     )
     np.testing.assert_allclose(dec_j, dec_t.transpose(0, 2, 1), atol=1e-6)
+
+
+def test_snake_adain_encoder_import(refblocks):
+    """v3 family: Snake's learnable alpha imports ([dim,1] -> [dim]); AdaIN
+    runtime statistics are skipped (fresh at export, like the reference's
+    own artifacts before learn_target/learn_source run)."""
+    from rave_tpu.models.blocks import EncoderV2
+    from rave_tpu.utils.import_torch import import_module_state
+
+    torch.manual_seed(5)
+    snake = lambda dim: refblocks.Snake(dim)  # noqa: E731
+    # snake.gin binds ACTIVATION into DilatedUnit too (snake.gin:5-22)
+    orig_du = refblocks.DilatedUnit
+    refblocks.DilatedUnit = functools.partial(orig_du, activation=snake)
+    try:
+        tenc = refblocks.EncoderV2(
+            data_size=DS, n_out=2, activation=snake,
+            adain=lambda dim: refblocks.AdaptiveInstanceNormalization(dim),
+            **DATA,
+        )
+    finally:
+        refblocks.DilatedUnit = orig_du
+    with torch.no_grad():  # non-trivial snake params
+        for name, p in tenc.named_parameters():
+            if name.endswith("alpha"):
+                p.uniform_(0.5, 2.0)
+    ours = EncoderV2(
+        data_size=DS, n_out=2, capacity=DATA["capacity"],
+        ratios=tuple(DATA["ratios"]), latent_size=DATA["latent_size"],
+        kernel_size=DATA["kernel_size"],
+        dilations=tuple(tuple(d) for d in DATA["dilations"]),
+        weight_norm=True, activation="snake", use_adain=True,
+    )
+    variables = jax.jit(ours.init)(
+        {"params": jax.random.key(0)}, jnp.zeros((1, T, DS))
+    )
+    imported = import_module_state(
+        _sd_numpy(tenc), variables["params"]
+    )
+    x = np.random.default_rng(6).standard_normal((1, T, DS)).astype(np.float32)
+    with torch.no_grad():
+        z_t = tenc(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    z_j = np.asarray(
+        ours.apply(
+            {"params": imported, "adain": variables["adain"]},
+            jnp.asarray(x),
+        )
+    )
+    np.testing.assert_allclose(z_j, z_t.transpose(0, 2, 1), atol=2e-5)
