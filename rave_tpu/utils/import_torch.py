@@ -68,8 +68,8 @@ def _group_convs(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
         path, _, leaf = key.rpartition(".")
         if leaf in ("weight_v", "weight_g", "weight", "bias", "alpha"):
             groups.setdefault(path, {})[leaf] = np.asarray(val)
-        elif leaf in _ADAIN_STATE:
-            continue
+        elif leaf in _ADAIN_STATE or leaf == "target_size":
+            continue  # runtime stats / derived constants
         else:
             raise NotImplementedError(
                 f"unsupported reference parameter '{key}' (GRU/recurrent "
@@ -127,7 +127,17 @@ def import_module_state(
             max_net_idx = max(max_net_idx, int(path.split(".")[1]))
 
     for path, grp in _group_convs(sd).items():
-        our_path = _translate_path(path)
+        # noise-equipped generators split waveform/noise off `net`
+        # (reference blocks.py:684-691); here they are the AlignBranches
+        # pair `synth/branches_0` (waveform) and `synth/branches_1` (noise)
+        if path == "waveform_module":
+            our_path = ("synth", "branches_0")
+        elif path.startswith("noise_module."):
+            our_path = ("synth", "branches_1") + _translate_path(
+                path[len("noise_module.") :]
+            )
+        else:
+            our_path = _translate_path(path)
         # the reference appends the generator's waveform conv to `net`;
         # here it is the separate `waveform` submodule
         if (

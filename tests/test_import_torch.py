@@ -303,3 +303,50 @@ def test_snake_adain_encoder_import(refblocks):
         )
     )
     np.testing.assert_allclose(z_j, z_t.transpose(0, 2, 1), atol=2e-5)
+
+
+def test_noise_generator_import(refblocks):
+    """v2_small/noise family: noise_module + waveform_module route to the
+    synth AlignBranches pair; tensors land exactly (the noise branch's
+    output is stochastic, so equivalence is checked on the mapped weights
+    and a finite forward)."""
+    from rave_tpu.models.blocks import GeneratorV2
+    from rave_tpu.utils.import_torch import import_module_state
+
+    torch.manual_seed(6)
+    tgen = refblocks.GeneratorV2(
+        data_size=16, amplitude_modulation=True,
+        noise_module=functools.partial(
+            refblocks.NoiseGeneratorV2, hidden_size=8, data_size=16,
+            ratios=[2, 2], noise_bands=4,
+        ),
+        **DATA,
+    )
+    ours = GeneratorV2(
+        data_size=16, amplitude_modulation=True,
+        capacity=DATA["capacity"], ratios=tuple(DATA["ratios"]),
+        latent_size=DATA["latent_size"], kernel_size=DATA["kernel_size"],
+        dilations=tuple(tuple(d) for d in DATA["dilations"]),
+        weight_norm=True, use_noise=True, noise_hidden=8,
+        noise_ratios=(2, 2), noise_bands=4,
+    )
+    z = np.random.default_rng(7).standard_normal(
+        (1, T // 8, DATA["latent_size"])
+    ).astype(np.float32)
+    template = jax.jit(ours.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.asarray(z),
+    )["params"]
+    imported = import_module_state(_sd_numpy(tgen), template)
+
+    # noise-branch weights land exactly: [out, in, k] -> [k, in, out]
+    w_t = tgen.noise_module.net[0].weight.detach().numpy()
+    np.testing.assert_allclose(
+        imported["synth"]["branches_1"]["net"]["layers_0"]["w"],
+        w_t.transpose(2, 1, 0), atol=0,
+    )
+    y = ours.apply(
+        {"params": imported}, jnp.asarray(z),
+        rngs={"noise": jax.random.key(2)},
+    )
+    assert np.isfinite(np.asarray(y)).all()
