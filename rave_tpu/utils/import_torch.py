@@ -68,14 +68,51 @@ def _group_convs(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
         path, _, leaf = key.rpartition(".")
         if leaf in ("weight_v", "weight_g", "weight", "bias", "alpha"):
             groups.setdefault(path, {})[leaf] = np.asarray(val)
-        elif leaf in _ADAIN_STATE or leaf == "target_size":
+        elif leaf.startswith(("weight_ih_l", "weight_hh_l", "bias_ih_l",
+                              "bias_hh_l")):
+            groups.setdefault(path, {})[leaf] = np.asarray(val)
+        elif leaf in _ADAIN_STATE or leaf in ("target_size", "gru_state"):
             continue  # runtime stats / derived constants
         else:
             raise NotImplementedError(
-                f"unsupported reference parameter '{key}' (GRU/recurrent "
-                f"and noise-generator imports are not implemented yet)"
+                f"unsupported reference parameter '{key}' "
+                f"(v1 BatchNorm imports are not implemented)"
             )
     return groups
+
+
+def _import_gru(grp: dict, our_path: Tuple[str, ...], out: dict):
+    """torch nn.GRU (packed [3H, *] r|z|n gates, separate i/h biases) ->
+    flax GRUCell dense layers. Identical recurrences; torch's additive
+    b_ir + b_hr folds into the single flax input bias (rave/blocks.py GRU
+    at 295-319)."""
+    n_layers = 1 + max(
+        int(k.rsplit("l", 1)[1]) for k in grp if k.startswith("weight_ih_l")
+    )
+    for layer in range(n_layers):
+        w_ih = np.asarray(grp[f"weight_ih_l{layer}"], np.float32)
+        w_hh = np.asarray(grp[f"weight_hh_l{layer}"], np.float32)
+        hidden = w_hh.shape[1]
+        b_ih = np.asarray(
+            grp.get(f"bias_ih_l{layer}", np.zeros(3 * hidden)), np.float32
+        )
+        b_hh = np.asarray(
+            grp.get(f"bias_hh_l{layer}", np.zeros(3 * hidden)), np.float32
+        )
+        r, z, n = slice(0, hidden), slice(hidden, 2 * hidden), slice(
+            2 * hidden, 3 * hidden
+        )
+        base = our_path + (f"rnn_{layer}", "cell")
+        _set_leaf(out, base + ("ir", "kernel"), w_ih[r].T.copy())
+        _set_leaf(out, base + ("ir", "bias"), b_ih[r] + b_hh[r])
+        _set_leaf(out, base + ("iz", "kernel"), w_ih[z].T.copy())
+        _set_leaf(out, base + ("iz", "bias"), b_ih[z] + b_hh[z])
+        _set_leaf(out, base + ("in", "kernel"), w_ih[n].T.copy())
+        _set_leaf(out, base + ("in", "bias"), b_ih[n].copy())
+        _set_leaf(out, base + ("hr", "kernel"), w_hh[r].T.copy())
+        _set_leaf(out, base + ("hz", "kernel"), w_hh[z].T.copy())
+        _set_leaf(out, base + ("hn", "kernel"), w_hh[n].T.copy())
+        _set_leaf(out, base + ("hn", "bias"), b_hh[n].copy())
 
 
 def _translate_path(torch_path: str) -> Tuple[str, ...]:
@@ -146,6 +183,16 @@ def import_module_state(
             and "waveform" in template
         ):
             our_path = ("waveform",)
+        if any(k.startswith("weight_ih_l") for k in grp):
+            # the reference wraps nn.GRU in a module named `gru`; here the
+            # rnn layers sit directly on the recurrent block
+            if our_path and our_path[-1] == "gru" and (
+                _leaf(template, our_path) is None
+            ):
+                our_path = our_path[:-1]
+            _import_gru(grp, our_path, out)
+            continue
+
         target = _leaf(template, our_path)
         if target is None:
             raise KeyError(

@@ -350,3 +350,26 @@ def test_noise_generator_import(refblocks):
         rngs={"noise": jax.random.key(2)},
     )
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_gru_import_matches_torch(refblocks):
+    """hybrid family: torch nn.GRU (packed r|z|n gates) -> flax GRUCell
+    dense layers; forward sequences match."""
+    from rave_tpu.nn.gru import GRU as OurGRU
+    from rave_tpu.utils.import_torch import import_module_state
+
+    torch.manual_seed(7)
+    H, L, B, Tn = 6, 2, 2, 16
+    tgru = refblocks.GRU(latent_size=H, num_layers=L)
+    ours = OurGRU(latent_size=H, num_layers=L)
+    tmpl = jax.jit(ours.init)(
+        {"params": jax.random.key(0)}, jnp.zeros((B, Tn, H))
+    )["params"]
+    sd = _sd_numpy(tgru)  # keys gru.weight_ih_l0 ... + gru_state (skipped)
+    imported = import_module_state(sd, tmpl)
+
+    x = np.random.default_rng(8).standard_normal((B, Tn, H)).astype(np.float32)
+    with torch.no_grad():
+        y_t = tgru(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    y_j = np.asarray(ours.apply({"params": imported}, jnp.asarray(x)))
+    np.testing.assert_allclose(y_j, y_t.transpose(0, 2, 1), atol=1e-5)
