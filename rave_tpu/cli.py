@@ -238,13 +238,15 @@ def cmd_import_torch(argv):
     state = create_train_state(
         cfg, model, dis, jax.random.key(0), n_channels=a.channels
     )
-    params, buffers, codebook = import_reference_checkpoint(
+    params, buffers, codebook, batch_stats = import_reference_checkpoint(
         sd, state.gen_params, state.model_state.get("buffers", {}),
         state.model_state.get("codebook"),
     )
     model_state = {**state.model_state, "buffers": buffers}
     if codebook is not None:
         model_state["codebook"] = codebook
+    if batch_stats is not None:
+        model_state["batch_stats"] = batch_stats
     state = state.replace(gen_params=params, model_state=model_state)
     run_dir = make_run_dir(a.out_path, a.name, cfg)
     save_checkpoint(str(run_dir), 0, jax.device_get(state))

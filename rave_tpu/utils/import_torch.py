@@ -71,12 +71,16 @@ def _group_convs(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
         elif leaf.startswith(("weight_ih_l", "weight_hh_l", "bias_ih_l",
                               "bias_hh_l")):
             groups.setdefault(path, {})[leaf] = np.asarray(val)
-        elif leaf in _ADAIN_STATE or leaf in ("target_size", "gru_state"):
+        elif leaf in ("running_mean", "running_var"):
+            groups.setdefault(path, {})[leaf] = np.asarray(val)
+        elif leaf in _ADAIN_STATE or leaf in (
+            "target_size", "gru_state", "num_batches_tracked",
+            "warmed_up", "enabled",
+        ):
             continue  # runtime stats / derived constants
         else:
             raise NotImplementedError(
-                f"unsupported reference parameter '{key}' "
-                f"(v1 BatchNorm imports are not implemented)"
+                f"unsupported reference parameter '{key}'"
             )
     return groups
 
@@ -116,18 +120,37 @@ def _import_gru(grp: dict, our_path: Tuple[str, ...], out: dict):
 
 
 def _translate_path(torch_path: str) -> Tuple[str, ...]:
-    """'net.3.aligned.branches.0.net.1' -> ('net','layers_3','inner','net',
-    'layers_1')."""
-    parts = torch_path.replace("aligned.branches.0", "inner").split(".")
+    """Reference module path -> flax param path, e.g.
+    'net.3.aligned.branches.0.net.1' -> ('net','layers_3','inner','net',
+    'layers_1'). Three structural rules cover the v1 family's deeper
+    nesting (ResidualStack -> ResidualBlock -> ResidualLayer -> Residual,
+    reference blocks.py:48-164):
+      * the Residual wrapper's 'aligned.branches.0' is 'inner' here;
+      * a ResidualStack's AlignBranches is named 'net' there, 'aligned'
+        here;
+      * a ResidualBlock's sequential is flattened here (its 'net.{j}'
+        drops the container — the lookahead keeps NoiseGenerator's
+        leaf-level 'net.{j}' convs intact)."""
+    import re
+
+    s = torch_path.replace("aligned.branches.0", "inner")
+    s = re.sub(r"(^|\.)net\.branches\.", r"\1aligned.branches.", s)
+    s = re.sub(r"(branches\.\d+)\.net\.(\d+)(?=\.net\.)", r"\1.\2", s)
+    parts = s.split(".")
     out = []
     i = 0
     while i < len(parts):
         p = parts[i]
         if i + 1 < len(parts) and parts[i + 1].isdigit():
-            out.append(f"layers_{parts[i + 1]}")
-            # container name folds into the flax auto-name
-            out.insert(len(out) - 1, p)
+            if p == "branches":
+                out.append(f"branches_{parts[i + 1]}")
+            else:
+                out.append(p)
+                out.append(f"layers_{parts[i + 1]}")
             i += 2
+        elif p.isdigit():
+            out.append(f"layers_{p}")
+            i += 1
         else:
             out.append(p)
             i += 1
@@ -151,12 +174,14 @@ def _set_leaf(tree: dict, path: Tuple[str, ...], value):
 
 
 def import_module_state(
-    sd: Mapping[str, np.ndarray], template: Mapping
+    sd: Mapping[str, np.ndarray], template: Mapping,
+    batch_stats: dict = None,
 ) -> dict:
     """Map one reference module's state_dict (e.g. an EncoderV2's) onto a
     same-architecture flax param subtree `template`. Returns a new tree
     with every leaf replaced by the imported weights; raises on any
-    unmatched parameter (no silent partial imports)."""
+    unmatched parameter (no silent partial imports). BatchNorm running
+    stats (v1 family) are written into `batch_stats` when given."""
     out: dict = {}
     max_net_idx = -1
     for path in _group_convs(sd):
@@ -201,6 +226,24 @@ def import_module_state(
                 f"config mismatch?"
             )
 
+        if "running_mean" in grp:  # v1 BatchNorm -> bn/{scale,bias} + stats
+            bn_path = our_path + ("bn",)
+            tgt = _leaf(template, bn_path)
+            if tgt is None:
+                raise KeyError(
+                    f"BatchNorm '{path}' has no counterpart at "
+                    f"{'/'.join(bn_path)}"
+                )
+            _set_leaf(out, bn_path + ("scale",),
+                      np.asarray(grp["weight"], np.float32))
+            _set_leaf(out, bn_path + ("bias",),
+                      np.asarray(grp["bias"], np.float32))
+            if batch_stats is not None:
+                _set_leaf(batch_stats, bn_path + ("mean",),
+                          np.asarray(grp["running_mean"], np.float32))
+                _set_leaf(batch_stats, bn_path + ("var",),
+                          np.asarray(grp["running_var"], np.float32))
+            continue
         if set(grp) == {"alpha"}:  # Snake activation [dim, 1] -> [dim]
             a = np.asarray(grp["alpha"], np.float32).reshape(
                 np.shape(target["alpha"])
@@ -292,16 +335,16 @@ def import_rvq_state(
 def import_reference_checkpoint(
     state_dict: Mapping[str, np.ndarray], params_template: Mapping,
     buffers_template: Mapping, codebook_template: Mapping = None,
-) -> Tuple[dict, dict, dict]:
+) -> Tuple[dict, dict, dict, dict]:
     """Full-checkpoint entry: split a reference RAVE state_dict (the
     `.ckpt`'s `state_dict` with the `model.` Lightning prefix stripped if
-    present) into encoder/decoder subtrees, the latent buffers, and —
-    for discrete models — the RVQ codebooks.
+    present) into encoder/decoder subtrees, the latent buffers, the RVQ
+    codebooks (discrete models), and BatchNorm running stats (v1 models).
 
-    Returns (params, buffers, codebook-or-None) matching this framework's
-    {'encoder': {'encoder': ...}, 'decoder': ...} layout. PQMF /
-    discriminator / audio-distance entries are skipped (derived or
-    training-only)."""
+    Returns (params, buffers, codebook-or-None, batch_stats-or-None)
+    matching this framework's {'encoder': {'encoder': ...}, 'decoder': ...}
+    layout. PQMF / discriminator / audio-distance entries are skipped
+    (derived or training-only)."""
     enc_sd, dec_sd, rvq_sd = {}, {}, {}
     buffers = dict(buffers_template)
     for key, val in state_dict.items():
@@ -318,14 +361,25 @@ def import_reference_checkpoint(
         # (STFT windows), encoder.warmed_up/enabled (static flags here),
         # receptive_field: not imported
 
+    enc_bs, dec_bs = {}, {}
     params = {
         "encoder": {
             "encoder": import_module_state(
-                enc_sd, params_template["encoder"]["encoder"]
+                enc_sd, params_template["encoder"]["encoder"],
+                batch_stats=enc_bs,
             )
         },
-        "decoder": import_module_state(dec_sd, params_template["decoder"]),
+        "decoder": import_module_state(
+            dec_sd, params_template["decoder"], batch_stats=dec_bs
+        ),
     }
+    batch_stats = None
+    if enc_bs or dec_bs:
+        batch_stats = {}
+        if enc_bs:
+            batch_stats["encoder"] = {"encoder": enc_bs}
+        if dec_bs:
+            batch_stats["decoder"] = dec_bs
     codebook = None
     if rvq_sd:
         if codebook_template is None:
@@ -340,4 +394,4 @@ def import_reference_checkpoint(
                 )
             }
         }
-    return params, buffers, codebook
+    return params, buffers, codebook, batch_stats

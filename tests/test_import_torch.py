@@ -136,10 +136,10 @@ def test_full_checkpoint_import_structure(refblocks):
         {"params": jax.random.key(0), "noise": jax.random.key(1)},
         jnp.zeros((1, 16 * T, 1)),
     )
-    params, buffers, codebook = import_reference_checkpoint(
+    params, buffers, codebook, batch_stats = import_reference_checkpoint(
         sd, tmpl["params"], tmpl["buffers"]
     )
-    assert codebook is None
+    assert codebook is None and batch_stats is None
     # identical tree structure and shapes -> drop-in for the template
     ref_struct = jax.tree_util.tree_structure(tmpl["params"])
     got_struct = jax.tree_util.tree_structure(params)
@@ -373,3 +373,88 @@ def test_gru_import_matches_torch(refblocks):
         y_t = tgru(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
     y_j = np.asarray(ours.apply({"params": imported}, jnp.asarray(x)))
     np.testing.assert_allclose(y_j, y_t.transpose(0, 2, 1), atol=1e-5)
+
+
+def test_v1_encoder_import_matches_torch(refblocks):
+    """v1 family: raw (non-weight-normed) convs, BatchNorm running stats,
+    and the grouped n_out head import and match in eval mode."""
+    from rave_tpu.models.blocks import EncoderV1
+    from rave_tpu.utils.import_torch import import_module_state
+
+    torch.manual_seed(8)
+    tenc = refblocks.Encoder(
+        data_size=DS, capacity=4, latent_size=8, ratios=[4, 2], n_out=2,
+        sample_norm=False, repeat_layers=1,
+    )
+    # non-trivial running stats, as a trained checkpoint would carry
+    with torch.no_grad():
+        for m in tenc.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.uniform_(0.5, 2.0)
+                m.bias.normal_(0, 0.3)
+    tenc.eval()
+
+    ours = EncoderV1(
+        data_size=DS, capacity=4, latent_size=8, ratios=(4, 2), n_out=2,
+        train=False,
+    )
+    tmpl = jax.jit(ours.init)(
+        {"params": jax.random.key(0)}, jnp.zeros((1, T, DS))
+    )
+    bs = {}
+    imported = import_module_state(
+        _sd_numpy(tenc), tmpl["params"], batch_stats=bs
+    )
+    x = np.random.default_rng(9).standard_normal((1, T, DS)).astype(np.float32)
+    with torch.no_grad():
+        z_t = tenc(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    z_j = np.asarray(
+        ours.apply(
+            {"params": imported, "batch_stats": bs}, jnp.asarray(x)
+        )
+    )
+    np.testing.assert_allclose(z_j, z_t.transpose(0, 2, 1), atol=2e-5)
+
+
+def test_v1_generator_import_matches_torch(refblocks):
+    """v1 family: three-branch synth (wave/loud/noise), UpsampleLayers and
+    the nested ResidualStack import; the deterministic wave+loud output
+    matches (noise branch is stochastic -> compared with use_noise off)."""
+    from rave_tpu.models.blocks import GeneratorV1
+    from rave_tpu.utils.import_torch import import_module_state
+
+    torch.manual_seed(9)
+    orig_rs = refblocks.ResidualStack
+    refblocks.ResidualStack = functools.partial(
+        orig_rs, kernel_sizes=[3], dilations_list=[[1, 1], [3, 1]]
+    )
+    try:
+        tgen = refblocks.Generator(
+            latent_size=8, capacity=4, data_size=DS, ratios=[4, 2],
+            loud_stride=1, use_noise=False,
+        )
+    finally:
+        refblocks.ResidualStack = orig_rs
+    ours = GeneratorV1(
+        latent_size=8, capacity=4, data_size=DS, ratios=(4, 2),
+        loud_stride=1, use_noise=False,
+        res_kernel_sizes=(3,), res_dilations=((1, 1), (3, 1)),
+        weight_norm=True,
+    )
+    z = np.random.default_rng(10).standard_normal((1, 16, 8)).astype(np.float32)
+    tmpl = jax.jit(ours.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.asarray(z),
+    )["params"]
+    imported = import_module_state(_sd_numpy(tgen), tmpl)
+    with torch.no_grad():
+        y_t = tgen(torch.from_numpy(z.transpose(0, 2, 1))).numpy()
+    y_j = np.asarray(
+        ours.apply(
+            {"params": imported}, jnp.asarray(z),
+            rngs={"noise": jax.random.key(2)},
+        )
+    )
+    np.testing.assert_allclose(y_j, y_t.transpose(0, 2, 1), atol=2e-5)
