@@ -4,7 +4,7 @@ The reference stores fixed-size int16 protobuf AudioExamples in lmdb keyed
 '%08d' (SURVEY.md §2.11). Here records are fixed-size, so the store is a
 raw little-endian int16 payload file + a JSON header — O(1) random access
 through the OS page cache with zero deserialization, and trivially
-mmap-able from the C++ reader (native/ars_reader.cc).
+mmap-able from the C++ sampler (native/ars_pipeline.cc).
 
 Layout:
     <db>/metadata.yaml   {lazy, channels, n_seconds, sr, num_signal, n_examples}

@@ -366,11 +366,27 @@ class RandomCompress(Transform):
         return compand(x, self.sr, self.attack, self.release, lookup)
 
 
+def get_derivator_integrator(sr: int):
+    """The exact derivator/integrator filter pair the reference trains and
+    logs with (reference rave/dataset.py:24-29): a half-gain first difference
+    and its leaky inverse (double pole at ``alpha``, 10 Hz cutoff). Note the
+    cascade is NOT unity — passband gain is ``alpha**2 / 2`` (~0.499) with a
+    2nd-order 10 Hz highpass; we replicate that, not an idealized inverse."""
+    alpha = 1 / (1 + 1 / sr * 2 * np.pi * 10)
+    derivator = ([0.5, -0.5], [1.0])
+    integrator = ([alpha**2, -(alpha**2)], [1.0, -2 * alpha, alpha**2])
+    return (
+        lambda x: lfilter(*derivator, x, axis=0),
+        lambda x: lfilter(*integrator, x, axis=0),
+    )
+
+
 class Derivator(Transform):
-    """Leaky one-pole derivative (reference rave/dataset.py:24-29)."""
+    """Half-gain first difference applied to training data when
+    ``--derivative`` is set (reference rave/dataset.py:26,244-245)."""
 
     def __call__(self, rng, x):
-        return lfilter([1, -1], [1, -0.995], x, axis=0).astype(x.dtype)
+        return lfilter([0.5, -0.5], [1.0], x, axis=0).astype(x.dtype)
 
 
 class Normalize(Transform):

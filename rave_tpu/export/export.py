@@ -124,6 +124,9 @@ def export_model(
         "stereo": stereo,
         "block_size": block,
         "latent_family": fam,
+        # trained on the signal derivative -> consumers must integrate the
+        # output back (reference scripts/train.py:160-161, dataset.py:24-29)
+        "derivative": bool(cfg.data.derivative),
         "latent_size": int(latent_size),
         "full_latent_size": int(cfg.augmented_latent_size()),
         "latent_rate_hz": cfg.sampling_rate / ratio,

@@ -42,14 +42,30 @@ def generate(
     out_dir = Path(out_path)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    integrator = None
+    if art.manifest.get("derivative"):
+        # derivative-trained model: integrate the output back to the signal
+        # domain (reference scripts/train.py:160-161, rave/dataset.py:24-29)
+        from rave_tpu.data.transforms import get_derivator_integrator
+
+        integrator = get_derivator_integrator(sr)[1]
+
     for f in inputs:
         x = decode_file(f, sr, art.n_channels)
         if x is None:
             print(f"skipping {f} (cannot decode)")
             continue
+        assert x.dtype == np.int16, (
+            f"decode_file contract violated: expected int16, got {x.dtype}"
+        )
         x = x.astype(np.float32) / 32768.0
-        T = (x.shape[0] // block) * block
-        x = x[:T]
+        n_in = x.shape[0]
+        # whole-file processing (reference scripts/generate.py:91-115): pad
+        # the trailing partial block with zeros, trim the output back
+        pad = (-n_in) % block
+        if pad:
+            x = np.pad(x, ((0, pad), (0, 0)))
+        T = x.shape[0]
         xb = jnp.asarray(x[None])
         if streaming:
             art.reset_stream()
@@ -61,7 +77,10 @@ def generate(
             y = np.concatenate(outs, axis=1)[0]
         else:
             y = np.asarray(art.forward(xb))[0]
-        y = np.clip(y[: x.shape[0]], -1, 1)
+        y = y[:n_in]
+        if integrator is not None:
+            y = integrator(y)
+        y = np.clip(y, -1, 1)
         out_file = out_dir / (Path(f).stem + "_reconstructed.wav")
         wavfile.write(out_file, sr, (y * 32767).astype(np.int16))
         print(f"wrote {out_file}")

@@ -143,15 +143,22 @@ def split_classes(x: jax.Array, latent_size: int) -> jax.Array:
 
 
 def prior_loss(
-    prior: Prior, params, x_onehot: jax.Array, latent_size: int
+    prior: Prior, params, x_onehot: jax.Array, latent_size: int,
+    n_real: Optional[int] = None,
 ) -> jax.Array:
     """Teacher-forced next-step cross-entropy
-    (reference rave/prior/model.py:151-165)."""
+    (reference rave/prior/model.py:151-165).
+
+    `n_real`: when the batch carries padding rows (the small-batch
+    space_to_batch_converter workaround in prior/train.py), average the
+    loss over the first `n_real` examples only."""
     logits = prior.apply({"params": params}, x_onehot)
     target = jnp.argmax(split_classes(x_onehot[:, 1:], latent_size), -1)
     pred = split_classes(logits[:, :-1], latent_size)
     logp = jax.nn.log_softmax(pred, axis=-1)
     nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)
+    if n_real is not None:
+        nll = nll[:n_real]
     return jnp.mean(nll)
 
 

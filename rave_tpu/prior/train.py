@@ -134,13 +134,26 @@ def train_prior(
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
+    # XLA:TPU's space_to_batch_converter pass SIGABRTs on the backprop
+    # filter conv for batch < 8 (DEVNOTES.md); pad the batch with zero rows
+    # to 8 inside the step and average the loss over the real rows only —
+    # gradients are identical to the unpadded computation.
+    pad_rows = max(8 - batch, 0)
+
     @jax.jit
     def train_step(params, opt_state, x, rng):
+        if pad_rows:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad_rows,) + x.shape[1:], x.dtype)], axis=0
+            )
         z = encode_latents(x, rng)
         x_oh = qn.encode(shift(z))
 
         def loss_fn(p):
-            return prior_loss(prior, p, x_oh, latent_size)
+            return prior_loss(
+                prior, p, x_oh, latent_size,
+                n_real=batch if pad_rows else None,
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)

@@ -356,8 +356,16 @@ def run_validation(
             [np.concatenate([a[0], a[1][:, : a[0].shape[1]]], axis=1) for a in audios],
             axis=0,
         )
+        wav = xy[:8, :, 0].reshape(-1)
+        if cfg.data.derivative:
+            # derivative-trained models produce derivative-domain audio;
+            # integrate back before logging (reference rave/model.py:491-492,
+            # scripts/train.py:160-161)
+            from rave_tpu.data.transforms import get_derivator_integrator
+
+            wav = get_derivator_integrator(cfg.sampling_rate)[1](wav)
         logger.log_audio(
-            "audio_val", xy[:8, :, 0].reshape(-1), cfg.sampling_rate, eval_number
+            "audio_val", wav, cfg.sampling_rate, eval_number
         )
     z = np.concatenate([l.reshape(-1, l.shape[-1]) for l in latents], 0)
     return val, z, audios

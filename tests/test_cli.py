@@ -97,6 +97,14 @@ def test_cli_full_pipeline(corpus, tmp_path):
     sr_out, y = wavfile.read(outs[0])
     assert sr_out == SR
     assert y.size > 0 and np.isfinite(y.astype(np.float32)).all()
+    # whole-file generate (reference scripts/generate.py:91-115): the corpus
+    # length is NOT a block multiple — the trailing partial block must be
+    # processed (padded + trimmed), not dropped
+    sr_in, x_in = wavfile.read(wav_in)
+    assert x_in.shape[0] % 512 != 0, "corpus must exercise the partial block"
+    assert y.shape[0] == x_in.shape[0], (
+        f"generate dropped samples: {y.shape[0]} != {x_in.shape[0]}"
+    )
 
     # 5. resume: re-invoking train with the same name picks up the
     # checkpoint and advances the step counter (reference train.py:257-263)

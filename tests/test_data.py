@@ -98,6 +98,62 @@ def test_transforms():
     assert cp.shape == x.shape
 
 
+def test_derivator_integrator_parity():
+    """The derivator/integrator pair matches the reference's exact filters
+    (rave/dataset.py:24-29): derivator = 0.5*(1 - z^-1); integrator = the
+    leaky double-pole inverse. The cascade has passband gain alpha^2/2 and a
+    2nd-order 10 Hz highpass — verified as a gain-compensated round trip on
+    a signal with no sub-20 Hz content."""
+    from scipy.signal import lfilter
+
+    sr = 44100
+    rng = np.random.default_rng(0)
+    t = np.arange(4 * sr) / sr
+    x = sum(
+        a * np.sin(2 * np.pi * f * t)
+        for a, f in [(0.4, 110.0), (0.3, 523.25), (0.2, 3000.0)]
+    ).astype(np.float32)[:, None]
+
+    der, integ = T.get_derivator_integrator(sr)
+    alpha = 1 / (1 + 1 / sr * 2 * np.pi * 10)
+
+    # exact parity with the reference coefficients (scipy oracle)
+    d_ref = lfilter([0.5, -0.5], [1.0], x, axis=0)
+    np.testing.assert_allclose(der(x), d_ref, atol=1e-7)
+    i_ref = lfilter(
+        [alpha**2, -(alpha**2)], [1, -2 * alpha, alpha**2], d_ref, axis=0
+    )
+    np.testing.assert_allclose(integ(d_ref), i_ref, atol=1e-7)
+
+    # Derivator transform (the dataset pipeline entry) = the same filter
+    np.testing.assert_allclose(
+        T.Derivator()(rng, x), d_ref.astype(np.float32), atol=1e-6
+    )
+
+    # the der->integ cascade equals its analytic rational filter
+    # 0.5*alpha^2*(1-z^-1)^2 / (1-alpha*z^-1)^2 sample-exactly
+    b_cas = 0.5 * np.convolve([0.5 * 2, -0.5 * 2], [alpha**2, -(alpha**2)])
+    a_cas = np.convolve([1.0], [1, -2 * alpha, alpha**2])
+    y = integ(der(x))
+    y_analytic = lfilter(b_cas, a_cas, x, axis=0)
+    np.testing.assert_allclose(y, y_analytic, atol=1e-10)
+
+    # round trip: the cascade is a 2nd-order 10 Hz highpass at gain
+    # alpha^2/2 — above the cutoff, gain compensation recovers the signal
+    # up to the residual phase lead (~2*atan(10/f) rad); at 1 kHz+ that is
+    # inaudible and numerically small
+    t_hi = np.arange(2 * sr) / sr
+    x_hi = (0.5 * np.sin(2 * np.pi * 1000.0 * t_hi)).astype(np.float32)[:, None]
+    y_hi = integ(der(x_hi)) * 2 / alpha**2
+    warm = sr
+    rel = np.linalg.norm(y_hi[warm:] - x_hi[warm:]) / np.linalg.norm(x_hi[warm:])
+    # predicted residual = the cascade's phase lead 2*atan(fc/f) ~ 0.020 rad
+    predicted = 2 * np.arctan(10.0 / 1000.0)
+    assert abs(rel - predicted) < 0.002, (
+        f"1 kHz round trip error {rel} != predicted phase residual {predicted}"
+    )
+
+
 def test_http_dataset_roundtrip(db):
     """Remote dataset: REST server (stdlib) + HTTPAudioDataset client."""
     import threading

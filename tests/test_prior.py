@@ -48,6 +48,34 @@ def test_prior_causality_and_loss():
     assert np.isfinite(float(loss))
 
 
+def test_prior_loss_pad_rows_equivalent():
+    """The small-batch workaround (prior/train.py pads the batch to 8 rows
+    and passes n_real) must produce the same loss AND gradients as the
+    unpadded computation — padding exists only to sidestep the XLA:TPU
+    space_to_batch_converter abort (DEVNOTES.md)."""
+    prior = Prior(latent_size=2, resolution=8, res_size=16, skp_size=8, n_layers=3)
+    T, B = 32, 2
+    x = jax.nn.one_hot(
+        jnp.asarray(np.random.default_rng(4).integers(0, 8, (B, T, 2))), 8
+    ).reshape(B, T, 16)
+    params = prior.init({"params": jax.random.key(0)}, x)["params"]
+
+    loss_plain, g_plain = jax.value_and_grad(
+        lambda p: prior_loss(prior, p, x, 2)
+    )(params)
+    x_pad = jnp.concatenate([x, jnp.zeros((8 - B, T, 16), x.dtype)], axis=0)
+    loss_pad, g_pad = jax.value_and_grad(
+        lambda p: prior_loss(prior, p, x_pad, 2, n_real=B)
+    )(params)
+    np.testing.assert_allclose(float(loss_plain), float(loss_pad), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        g_plain, g_pad,
+    )
+
+
 def test_prior_streaming_matches_offline():
     prior = Prior(latent_size=2, resolution=8, res_size=16, skp_size=8, n_layers=3)
     T = 16
