@@ -368,6 +368,11 @@ def _v2_with_augs(c: RaveConfig):
     c.n_mels = 128
     c.encoder.ratios = (2, 2, 2)
     c.train.phase_1_duration = 1_000_000
+    # v2_with_augs.gin includes configs/v1.gin (line 14), NOT v2.gin — so it
+    # inherits v1's loss weights and fixed beta, not v2's warmup.
+    c.train.weights["feature_matching"] = 10.0
+    c.train.beta_initial = c.train.beta_target = 0.1
+    c.train.beta_warmup_len = 1
     c.data.augmentations = (
         '{"type":"RandomCompress","threshold":-40,"amp_range":[-60,-10],"prob":0.5}',
     )
@@ -423,6 +428,11 @@ def _discrete_v3(c: RaveConfig):
     c.name = "discrete_v3"
     _snake(c)
     _descript(c)
+    # discrete_v3.gin re-overrides BetaWarmupCallback after its includes
+    # (reference configs/discrete_v3.gin:9-12), undoing discrete's fixed beta.
+    c.train.beta_initial = 1e-6
+    c.train.beta_target = 5e-2
+    c.train.beta_warmup_len = 20000
 
 
 @preset("wasserstein")
@@ -529,9 +539,19 @@ def _descript(c: RaveConfig):
 
 
 def compose(names: List[str], overrides: Optional[List[str]] = None) -> RaveConfig:
-    """Build a config from stacked preset names + dotted overrides."""
+    """Build a config from stacked preset names + dotted overrides. A name
+    that is a path to an existing `.gin` file is ingested through the
+    reference-gin parser (config_gin) instead — reference users can pass
+    their run's config.gin or custom gins directly."""
+    import os
+
     cfg = RaveConfig()
     for n in names:
+        if str(n).endswith(".gin") and os.path.isfile(n):
+            from rave_tpu.config_gin import apply_gin_file
+
+            apply_gin_file(cfg, str(n))
+            continue
         key = n.replace(".gin", "")
         if key not in PRESETS:
             raise KeyError(f"unknown config preset '{key}'; have {sorted(PRESETS)}")
