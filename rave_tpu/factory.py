@@ -222,7 +222,12 @@ def build_discriminator(cfg: RaveConfig, n_channels: int = 1):
         )
     if d.kind == "descript":
         return DescriptDiscriminator(
-            periods=d.descript_periods, fft_sizes=d.descript_fft_sizes
+            periods=d.descript_periods,
+            fft_sizes=d.descript_fft_sizes,
+            # packed fmaps skip per-layer unpack copies in the MRD; exactly
+            # loss-preserving only for the relative (sum/sum) feature
+            # matching distance (models/descript.py MRD.packed_fmaps)
+            packed_fmaps=cfg.train.feature_matching_relative,
         )
     raise ValueError(f"unknown discriminator kind {d.kind}")
 

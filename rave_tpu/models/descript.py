@@ -95,15 +95,34 @@ class MSD(nn.Module):
         return fmap
 
 
+MRD_SPEC = (
+    ((3, 9), (1, 1), (1, 4)),
+    ((3, 9), (1, 2), (1, 4)),
+    ((3, 9), (1, 2), (1, 4)),
+    ((3, 9), (1, 2), (1, 4)),
+    ((3, 3), (1, 1), (1, 1)),
+)
+
+
 class MRD(nn.Module):
-    """Multi-band STFT 2D critic (reference descript_discriminator.py:118-184)."""
+    """Multi-band STFT 2D critic (reference descript_discriminator.py:118-184).
+
+    `packed=True` (default) runs the band conv stacks frequency-packed
+    (ops/packed_conv.py): numerically equivalent to the per-band layout
+    (same params, fmaps unpacked to the original geometry) but ~6x faster
+    fwd+bwd on TPU, where 32-channel spatial convs run at ~6% MFU.
+    """
 
     window_length: int
     hop_factor: float = 0.25
     bands: Tuple = BANDS
+    packed: bool = True
+    packed_fmaps: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from rave_tpu.ops import packed_conv as pc
+
         B, T, C = x.shape
         flat = x.swapaxes(1, 2).reshape(B * C, T)
         s = stft(flat, self.window_length, int(self.hop_factor * self.window_length))
@@ -118,20 +137,44 @@ class MRD(nn.Module):
         fmap, outs = [], []
         for bi, (lo, hi) in enumerate(bands):
             band = img[:, :, lo:hi, :]
-            spec = [
-                ((3, 9), (1, 1), (1, 4)),
-                ((3, 9), (1, 2), (1, 4)),
-                ((3, 9), (1, 2), (1, 4)),
-                ((3, 9), (1, 2), (1, 4)),
-                ((3, 3), (1, 1), (1, 1)),
-            ]
-            for li, (k, st, p) in enumerate(spec):
-                band = WNConv(
-                    features=32, kernel_size=k, strides=st, padding=p,
-                    name=f"band{bi}_conv{li}",
-                )(band)
-                fmap.append(band)
-                band = jax.nn.leaky_relu(band, 0.1)
+            if self.packed:
+                nb = hi - lo
+                xp = pc.pack_freq(band)
+                for li, (k, st, p) in enumerate(MRD_SPEC):
+                    conv = WNConv(
+                        features=32, kernel_size=k, strides=st, padding=p,
+                        name=f"band{bi}_conv{li}",
+                    )
+                    w, b = conv.weights(xp.shape[-1] // pc.PACK)
+                    xp = pc.packed_conv(
+                        xp, w, b, n_bins_in=nb,
+                        stride_t=st[0], stride_f=st[1], pad_t=p[0], pad_f=p[1],
+                    )
+                    nb = pc.out_bins(nb, k[1], st[1], p[1])
+                    # zero the pack-alignment tail bins: the original conv
+                    # sees zero padding there, and they feed the next
+                    # layer's edge outputs
+                    G = xp.shape[2]
+                    if G * pc.PACK != nb:
+                        mask = (np.arange(G * pc.PACK) < nb).reshape(G, pc.PACK)
+                        mask = np.repeat(mask, 32, axis=1)[None, None]
+                        xp = xp * jnp.asarray(mask, xp.dtype)
+                    # packed_fmaps skips the per-layer unpack copy — valid
+                    # when the consumer's feature-matching distance is
+                    # count-invariant (relative mean_difference: sum/sum, so
+                    # the masked zero pad bins cancel exactly; train/steps.py
+                    # uses it only with feature_matching_relative)
+                    fmap.append(xp if self.packed_fmaps else pc.unpack_freq(xp, nb))
+                    xp = jax.nn.leaky_relu(xp, 0.1)
+                band = pc.unpack_freq(xp, nb)
+            else:
+                for li, (k, st, p) in enumerate(MRD_SPEC):
+                    band = WNConv(
+                        features=32, kernel_size=k, strides=st, padding=p,
+                        name=f"band{bi}_conv{li}",
+                    )(band)
+                    fmap.append(band)
+                    band = jax.nn.leaky_relu(band, 0.1)
             outs.append(band)
         y = jnp.concatenate(outs, axis=2)
         y = WNConv(
@@ -150,6 +193,7 @@ class DescriptDiscriminator(nn.Module):
     rates: Tuple[int, ...] = ()
     fft_sizes: Tuple[int, ...] = (2048, 1024, 512)
     bands: Tuple = BANDS
+    packed_fmaps: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -161,5 +205,10 @@ class DescriptDiscriminator(nn.Module):
         for r in self.rates:
             feats.append(MSD(scale=r, name=f"msd_{r}")(x))
         for f in self.fft_sizes:
-            feats.append(MRD(window_length=f, bands=self.bands, name=f"mrd_{f}")(x))
+            feats.append(
+                MRD(
+                    window_length=f, bands=self.bands,
+                    packed_fmaps=self.packed_fmaps, name=f"mrd_{f}",
+                )(x)
+            )
         return feats

@@ -32,11 +32,12 @@ class WNConv(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def weights(self, in_features: int):
+        """Effective (post-weight-norm) kernel + bias; param layout is
+        identical whether the conv is applied directly (__call__) or by a
+        packed/fused caller (ops/packed_conv.py)."""
         nd = len(self.kernel_size)
-        dil = self.dilation or (1,) * nd
-        in_feat = x.shape[-1]
-        kshape = self.kernel_size + (in_feat // self.groups, self.features)
+        kshape = self.kernel_size + (in_features // self.groups, self.features)
         init = nn.initializers.lecun_normal()
         if self.weight_norm:
             v = self.param("v", init, kshape)
@@ -53,6 +54,12 @@ class WNConv(nn.Module):
         else:
             w = self.param("w", init, kshape)
         b = self.param("b", nn.initializers.zeros, (self.features,))
+        return w, b
+
+    def __call__(self, x):
+        nd = len(self.kernel_size)
+        dil = self.dilation or (1,) * nd
+        w, b = self.weights(x.shape[-1])
         dn = ("NWC", "WIO", "NWC") if nd == 1 else ("NHWC", "HWIO", "NHWC")
         y = jax.lax.conv_general_dilated(
             x,
