@@ -161,21 +161,94 @@ def cmd_export(argv):
 
 
 def cmd_export_onnx(argv):
-    """Portable-graph export: AOT StableHLO of the offline forward (the
-    reference's export_onnx analog — consumable by any PJRT/IREE-style
-    runtime without Python)."""
+    """ONNX export (reference scripts/export_onnx.py parity): emits a true
+    opset-12 `.onnx` with dynamic audio length for the v1 family, plus the
+    portable AOT StableHLO graph (every family, any PJRT/IREE-style
+    runtime)."""
     p = argparse.ArgumentParser("rave-tpu export_onnx")
     p.add_argument("--run", required=True)
     p.add_argument("--n_signal", type=int, default=131072)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--output", default=None)
-    a = p.parse_args(argv)
-    from rave_tpu.export.portable import export_portable
-
-    path = export_portable(
-        run=a.run, n_signal=a.n_signal, batch=a.batch, output=a.output
+    p.add_argument(
+        "--deterministic", action="store_true",
+        help="use the posterior mean instead of RandomNormalLike sampling",
     )
-    print(f"exported: {path}")
+    p.add_argument(
+        "--verify", action="store_true",
+        help="evaluate the .onnx with the in-repo interpreter and compare "
+        "against the live model",
+    )
+    p.add_argument(
+        "--skip_stablehlo", action="store_true",
+        help="emit only the .onnx (skip the portable StableHLO export)",
+    )
+    a = p.parse_args(argv)
+    from pathlib import Path
+
+    from rave_tpu.export.portable import export_portable, load_run
+
+    cfg, params, model_state, n_channels, run_dir = load_run(a.run)
+    try:
+        from rave_tpu.export.onnx_export import export_onnx_model
+
+        if n_channels != 1:
+            raise NotImplementedError(
+                "ONNX export is mono; use the StableHLO path for "
+                f"n_channels={n_channels}"
+            )
+        data = export_onnx_model(
+            cfg, {"params": params, **model_state},
+            deterministic=a.deterministic,
+        )
+        onnx_path = Path(a.output or run_dir) / f"{cfg.name}.onnx"
+        onnx_path.parent.mkdir(parents=True, exist_ok=True)
+        onnx_path.write_bytes(data)
+        print(f"exported: {onnx_path}")
+        if a.verify:
+            _verify_onnx(cfg, params, model_state, n_channels, data)
+    except NotImplementedError as e:
+        print(f"no .onnx for this configuration ({e})")
+
+    if not a.skip_stablehlo:
+        path = export_portable(
+            run=a.run, n_signal=a.n_signal, batch=a.batch, output=a.output
+        )
+        print(f"exported: {path}")
+
+
+def _verify_onnx(cfg, params, model_state, n_channels, data):
+    """Interpreter-vs-live-model check (no onnxruntime in this env)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from rave_tpu.factory import build_rave
+
+    model = build_rave(cfg, n_channels=n_channels, train=False)
+    variables = {"params": params, **model_state}
+    T = cfg.n_band * 256
+    x = (np.random.default_rng(0).normal(size=(1, 1, T)) * 0.3).astype(
+        np.float32
+    )
+    @jax.jit
+    def fwd_mean(xin):
+        z = model.apply(variables, xin, method="encode")
+        return model.apply(
+            variables, z[..., : cfg.latent_size], method="decode",
+            rngs={"noise": jax.random.key(0)},
+        )
+
+    want = fwd_mean(jnp.asarray(x.transpose(0, 2, 1)))
+    from rave_tpu.export.onnx_export import export_onnx_model
+    from rave_tpu.export.onnx_run import run as onnx_run
+
+    det = export_onnx_model(cfg, variables, deterministic=True)
+    got = onnx_run(det, {"audio_in": x})["audio_out"]
+    err = float(np.abs(got - np.asarray(want).transpose(0, 2, 1)).max())
+    print(f"verify: max |onnx - live| = {err:.2e} over {T} samples")
+    assert err < 1e-4, "ONNX verification failed"
 
 
 def cmd_generate(argv):
