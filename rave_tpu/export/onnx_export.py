@@ -120,6 +120,104 @@ def _residual_stack(b: Builder, x: str, p, cfg: RaveConfig, dim: int) -> str:
     return x
 
 
+def _activation(b: Builder, x: str, cfg: RaveConfig, p) -> str:
+    """leaky_relu or Snake (x + sin^2(alpha*x)/(alpha+1e-9), blocks.py:170-182).
+    `p` is the layer's param dict ({} / absent for Lambda)."""
+    if cfg.activation == "snake":
+        alpha = _np(p["alpha"]).reshape(1, -1, 1)
+        a = b.const("alpha", alpha)
+        s = b.op("Sin", [b.mul(x, a)])
+        s2 = b.mul(s, s)
+        return b.add(x, b.op("Div", [s2, b.const("alpha_eps", alpha + 1e-9)]))
+    return b.leaky_relu(x)
+
+
+def _residual_unit_v2(b: Builder, x: str, cfg: RaveConfig, p, K: int, dil: int) -> str:
+    """Residual(DilatedUnit): x + conv1x1(act(conv_dil(act(x))))
+    (blocks.py:307-356, 392-415). Params: inner/net/layers_{0..3}."""
+    net = p["inner"]["net"]
+    h = _activation(b, x, cfg, net.get("layers_0", {}))
+    h = b.conv1d(
+        h, _wn(net["layers_1"]), None, dilation=dil,
+        pads=get_padding(K, 1, dil, cfg.mode), hint="dconv",
+    )
+    h = _activation(b, h, cfg, net.get("layers_2", {}))
+    h = b.conv1d(h, _wn(net["layers_3"]), None, pads=(0, 0), hint="pconv")
+    return b.add(x, h)
+
+
+def _encoder_v2(b: Builder, x: str, cfg: RaveConfig, params) -> str:
+    """EncoderV2 offline forward (blocks.py:451-531); layer indices mirror
+    _build() exactly (no adain/recurrent — gated by the caller)."""
+    from rave_tpu.models.blocks import normalize_dilations
+
+    net = params["encoder"]["encoder"]["net"]
+    K = cfg.encoder.kernel_size or cfg.kernel_size
+    eratios = tuple(cfg.encoder.ratios or cfg.ratios)
+    dl = normalize_dilations(
+        tuple(cfg.encoder.dilations or cfg.dilations), eratios
+    )
+    x = b.conv1d(
+        x, _wn(net["layers_0"]), None,
+        pads=get_padding(2 * K + 1, 1, 1, cfg.mode), hint="enc0",
+    )
+    i = 1
+    for r, dils in zip(eratios, dl):
+        for d in dils:
+            x = _residual_unit_v2(b, x, cfg, net[f"layers_{i}"], K, d)
+            i += 1
+        x = _activation(b, x, cfg, net.get(f"layers_{i}", {}))
+        x = b.conv1d(
+            x, _wn(net[f"layers_{i + 1}"]), None, stride=r,
+            pads=get_padding(2 * r, r, 1, cfg.mode), hint=f"down{i}",
+        )
+        i += 2
+    x = _activation(b, x, cfg, net.get(f"layers_{i}", {}))
+    x = b.conv1d(
+        x, _wn(net[f"layers_{i + 1}"]), None,
+        pads=get_padding(K, 1, 1, cfg.mode), hint="enc_final",
+    )
+    return x
+
+
+def _generator_v2(b: Builder, z: str, cfg: RaveConfig, params) -> str:
+    """GeneratorV2 offline forward without the noise branch
+    (blocks.py:641-769): mirrored upsampling + residual units, optional
+    amplitude modulation, tanh."""
+    from rave_tpu.models.blocks import normalize_dilations
+
+    net = params["net"]
+    K = cfg.kernel_size
+    dl = normalize_dilations(tuple(cfg.dilations), cfg.ratios)[::-1]
+    ratios = tuple(cfg.ratios)[::-1]
+    x = b.conv1d(
+        z, _wn(net["layers_0"]), None, pads=get_padding(K, 1, 1, cfg.mode),
+        hint="dec0",
+    )
+    i = 1
+    for r, dils in zip(ratios, dl):
+        x = _activation(b, x, cfg, net.get(f"layers_{i}", {}))
+        x = b.conv_transpose1d(
+            x, _wn(net[f"layers_{i + 1}"]), None, ratio=r,
+            crop=r // 2 if cfg.mode == "centered" else 0, hint=f"up{i}",
+        )
+        i += 2
+        for d in dils:
+            x = _residual_unit_v2(b, x, cfg, net[f"layers_{i}"], K, d)
+            i += 1
+    x = _activation(b, x, cfg, net.get(f"layers_{i}", {}))
+    wave = b.conv1d(
+        x, _wn(params["waveform"]), None,
+        pads=get_padding(2 * K + 1, 1, 1, cfg.mode), hint="wave",
+    )
+    ds = cfg.n_band * 1  # out_data_size, mono
+    if cfg.decoder.amplitude_modulation:
+        w = b.slice_channels(wave, 0, ds)
+        amp = b.slice_channels(wave, ds, 2 * ds)
+        wave = b.mul(w, b.op("Sigmoid", [amp]))
+    return b.op("Tanh", [wave])
+
+
 def _generator_v1(b: Builder, z: str, cfg: RaveConfig, params) -> str:
     """GeneratorV1 offline forward, noise branch disabled
     (models/blocks.py:1130-1245)."""
@@ -187,21 +285,29 @@ def export_onnx_model(
             f"StableHLO, export/portable.py) for this configuration."
         )
 
-    if cfg.encoder.kind != "v1" or cfg.decoder.kind != "v1":
-        unsupported(f"got encoder/decoder kind {cfg.encoder.kind}/{cfg.decoder.kind}")
-    if cfg.latent.family != "variational":
-        unsupported(f"got latent family {cfg.latent.family}")
-    if cfg.decoder.use_noise_v1:
+    kind = (cfg.encoder.kind, cfg.decoder.kind)
+    if kind not in (("v1", "v1"), ("v2", "v2")):
+        unsupported(f"got encoder/decoder kind {kind}")
+    v2 = kind == ("v2", "v2")
+    if cfg.latent.family != "variational" or cfg.latent.noise_augmentation:
+        unsupported(f"got latent family {cfg.latent.family}"
+                    f"+aug{cfg.latent.noise_augmentation}")
+    if (cfg.decoder.use_noise if v2 else cfg.decoder.use_noise_v1):
         unsupported("the FFT noise branch has no opset-12 lowering; train "
-                    "with the onnx config (use_noise=False)")
+                    "with use_noise=false (the reference's onnx.gin does the "
+                    "same)")
     if cfg.input_mode != "pqmf" or cfg.output_mode != "pqmf":
         unsupported(f"got input/output mode {cfg.input_mode}/{cfg.output_mode}")
-    if cfg.decoder.loud_stride != 1:
+    if not v2 and cfg.decoder.loud_stride != 1:
         unsupported(f"got loud_stride {cfg.decoder.loud_stride}")
     if cfg.encoder.repeat_layers != 1 or cfg.encoder.recurrent_layers:
         unsupported("repeat/recurrent encoder layers")
     if cfg.decoder.recurrent_layers:
         unsupported("recurrent decoder layers")
+    if cfg.encoder.use_adain or cfg.decoder.use_adain:
+        unsupported("AdaIN layers (stateful attribute surface)")
+    if cfg.activation not in ("leaky_relu", "snake"):
+        unsupported(f"activation {cfg.activation}")
 
     params = variables["params"]
     stats = variables.get("batch_stats", {})
@@ -222,7 +328,10 @@ def export_onnx_model(
         x = _reverse_half(b, x, M)
 
     # ---- encoder + reparametrization ------------------------------------
-    z2 = _encoder_v1(b, x, cfg, params, stats)
+    if v2:
+        z2 = _encoder_v2(b, x, cfg, params)
+    else:
+        z2 = _encoder_v1(b, x, cfg, params, stats)
     D = cfg.latent_size
     mean = b.slice_channels(z2, 0, D)
     if deterministic:
@@ -235,7 +344,10 @@ def export_onnx_model(
         z = b.add(mean, b.mul(std, eps))
 
     # ---- decoder + PQMF synthesis (ops/pqmf.py:158-176) ------------------
-    y = _generator_v1(b, z, cfg, params["decoder"])
+    if v2:
+        y = _generator_v2(b, z, cfg, params["decoder"])
+    else:
+        y = _generator_v1(b, z, cfg, params["decoder"])
     if M > 1:
         y = _reverse_half(b, y, M)
         y = b.conv1d(

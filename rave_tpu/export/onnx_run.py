@@ -80,6 +80,8 @@ def run(
             y = np.maximum(i[0], 0)
         elif op == "Tanh":
             y = np.tanh(i[0])
+        elif op == "Sin":
+            y = np.sin(i[0])
         elif op == "Sigmoid":
             y = 1.0 / (1.0 + np.exp(-i[0]))
         elif op == "Softplus":

@@ -172,6 +172,38 @@ def test_onnx_sampling_matches_jax(tiny_model):
     )
 
 
+V2_OVERRIDES = [
+    "capacity=4", "latent_size=8", "n_band=8", "ratios=[4,2]",
+    "dilations=[[1,3],[1]]", "decoder.use_noise=false",
+]
+
+
+@pytest.mark.parametrize("extra", [[], ["snake"]])
+def test_onnx_v2_forward_matches_jax(extra):
+    """v2-family ONNX export (beyond the reference: its torch exporter
+    only covers v1/onnx.gin) — dilated residual units, strided
+    downsampling, transpose-conv upsampling, amplitude modulation, and
+    the snake activation all lower to opset 12 and match the live model."""
+    cfg = compose(["v2"] + extra, V2_OVERRIDES)
+    model = build_rave(cfg, n_channels=1, train=False)
+    x0 = jnp.zeros((1, 4096, 1), jnp.float32)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)}, x0
+    )
+    variables = {k: v for k, v in variables.items() if k != "cache"}
+    data = export_onnx_model(cfg, variables, deterministic=True)
+    x = (np.random.default_rng(5).normal(size=(1, 1, 4096)) * 0.3).astype(
+        np.float32
+    )
+    got = onnx_run(data, {"audio_in": x})["audio_out"]
+    want = _jax_forward_mean(
+        cfg, model, variables, jnp.asarray(x.transpose(0, 2, 1))
+    )
+    want = np.asarray(want).transpose(0, 2, 1)
+    assert got.shape == want.shape == x.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_unsupported_family_raises():
     cfg = compose(["v2_small"])
     model = build_rave(cfg, n_channels=1, train=False)
