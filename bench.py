@@ -74,7 +74,7 @@ def train_metrics(batch=8, n_signal=131072, iters=8):
                 state, m = fn(
                     state, x + i * 1e-4, jax.random.fold_in(jax.random.key(3), i), **kw
                 )
-            float(m["loss_gen"])
+            float(m.get("loss_gen", m["loss_dis"]))
             return (time.perf_counter() - t0) / iters
 
         def timed(fn, **kw):
@@ -84,7 +84,7 @@ def train_metrics(batch=8, n_signal=131072, iters=8):
             # full loop, then take the best of two measured loops
             nonlocal state
             state, m = fn(state, x, jax.random.key(2), **kw)
-            float(m["loss_gen"])
+            float(m.get("loss_gen", m["loss_dis"]))
             timed_once(fn, **kw)
             return min(timed_once(fn, **kw), timed_once(fn, **kw))
 

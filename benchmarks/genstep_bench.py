@@ -6,7 +6,8 @@ optimization target is data, not guesswork:
   dist     spectral distances fwd+bwd (multiband + fullband, 5 scales)
   critic   discriminator fwd + bwd-to-input (the gen step's critic cost)
 
-Usage: python benchmarks/genstep_bench.py [bf16] [stft=matmul]
+Usage: python benchmarks/genstep_bench.py [bf16] [stft=matmul] [parts]
+  parts — additionally split the v2 critic into its MPD and MSD stacks
 """
 from __future__ import annotations
 
@@ -94,6 +95,42 @@ def main(args):
         return l + jnp.sum(jnp.abs(g))
 
     bench("critic fwd+bwd-to-input", critic_fb, y0)
+
+    # ---- v2 critic split: MPD vs MSD (gen-step view) ----------------------
+    if "parts" in args:
+        from rave_tpu.models.discriminators import (
+            MultiPeriodDiscriminator,
+            MultiScaleDiscriminator,
+        )
+
+        d = cfg.discriminator
+        subs = {
+            "MPD(2,3,5,7,11)": MultiPeriodDiscriminator(
+                periods=d.periods, capacity=d.capacity or cfg.capacity,
+                n_layers=d.n_layers, kernel_size=d.period_kernel, stride=d.stride,
+            ),
+            "MSD(3 scales)": MultiScaleDiscriminator(
+                n_discriminators=d.n_scales, capacity=d.capacity or cfg.capacity,
+                n_layers=d.n_layers, kernel_size=d.kernel_size, stride=d.stride,
+            ),
+        }
+        xy0 = jnp.concatenate([x, y0], axis=0)
+        for label, sub in subs.items():
+            p = jax.jit(sub.init)(jax.random.key(5), xy0)["params"]
+
+            def sub_fb(yi, p=p, sub=sub):
+                def loss(yj):
+                    xy = jnp.concatenate([x, yj], axis=0)
+                    feats = sub.apply({"params": p}, xy)
+                    return sum(
+                        jnp.sum(t.astype(jnp.float32) ** 2)
+                        for t in jax.tree_util.tree_leaves(feats)
+                    )
+
+                l, g = jax.value_and_grad(loss)(yi)
+                return l + jnp.sum(jnp.abs(g))
+
+            bench(label, sub_fb, y0)
 
 
 if __name__ == "__main__":

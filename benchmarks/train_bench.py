@@ -31,11 +31,11 @@ def timed_steps(cfg_overrides, label, batch=8, n_signal=131072, iters=6,
     def run_phase(name, fn, *args, **kw):
         nonlocal state
         state, m = fn(state, x, jax.random.key(2), **kw)
-        float(m["loss_gen"])  # sync through host fetch
+        float(m.get("loss_gen", m.get("loss_dis")))  # sync through host fetch
         t0 = time.perf_counter()
         for i in range(iters):
             state, m = fn(state, x + i * 1e-4, jax.random.fold_in(jax.random.key(3), i), **kw)
-        float(m["loss_gen"])
+        float(m.get("loss_gen", m.get("loss_dis")))
         dt = (time.perf_counter() - t0) / iters
         print(f"{label} {name}: {dt*1000:.0f} ms/step ({1/dt:.2f} it/s)", flush=True)
 

@@ -121,6 +121,12 @@ class TrainConfig:
     # dominates warmed-up step time; features are upcast to fp32 at the
     # loss boundary and weight grads land fp32 via the per-op cast's vjp.
     bf16_dis: bool = False
+    # Also compute the generator-side spectral distances on discriminator
+    # steps (4 multiscale-STFT stacks that only feed logging there — the
+    # critic loss never reads them). Off by default for throughput; the
+    # reference's combined training_step computes them every step
+    # (rave/model.py:334-344), flip on for log-for-log parity.
+    dis_full_metrics: bool = False
 
 
 @dataclass

@@ -127,24 +127,28 @@ def build_train_steps(
     # the scheduler every batch, discriminator batches included)
     gen_lr = gen_lr_schedule(t.gen_lr, t.lr_end_factor, t.phase_1_duration)
 
-    def losses_and_metrics(out, dis_params, x, warmed: bool, step):
+    def losses_and_metrics(out, dis_params, x, warmed: bool, step, gen_metrics=True):
+        """gen_metrics=False (dis step default) skips the reconstruction
+        distances — they never feed the critic loss, and the 4 multiscale
+        STFT stacks are pure logging cost there (train.dis_full_metrics)."""
         metrics = {}
-        x_b = _crop(cfg, out["x_bands"], crop_frames if t.valid_signal_crop else (0, 0))
-        y_b = _crop(cfg, out["y_bands"], crop_frames if t.valid_signal_crop else (0, 0))
         loss_gen = {}
-        mb = distance(x_b, y_b)
-        for k, v in mb.items():
-            loss_gen[f"multiband_{k}"] = weights.get("multiband_audio_distance", 1.0) * v
-        fb = distance(x, out["y_raw"])
-        for k, v in fb.items():
-            loss_gen[f"fullband_{k}"] = weights.get("audio_distance", 1.0) * v
+        if gen_metrics:
+            x_b = _crop(cfg, out["x_bands"], crop_frames if t.valid_signal_crop else (0, 0))
+            y_b = _crop(cfg, out["y_bands"], crop_frames if t.valid_signal_crop else (0, 0))
+            mb = distance(x_b, y_b)
+            for k, v in mb.items():
+                loss_gen[f"multiband_{k}"] = weights.get("multiband_audio_distance", 1.0) * v
+            fb = distance(x, out["y_raw"])
+            for k, v in fb.items():
+                loss_gen[f"fullband_{k}"] = weights.get("audio_distance", 1.0) * v
 
-        beta = beta_factor(
-            step, t.beta_initial, t.beta_target, t.beta_warmup_len, t.beta_log_warmup
-        )
-        loss_gen["regularization"] = out["reg"] * beta
-        metrics["beta_factor"] = beta
-        metrics["regularization_raw"] = out["reg"]
+            beta = beta_factor(
+                step, t.beta_initial, t.beta_target, t.beta_warmup_len, t.beta_log_warmup
+            )
+            loss_gen["regularization"] = out["reg"] * beta
+            metrics["beta_factor"] = beta
+            metrics["regularization_raw"] = out["reg"]
 
         loss_dis = jnp.asarray(0.0)
         if warmed:
@@ -191,7 +195,8 @@ def build_train_steps(
         for k, v in loss_gen.items():
             total_gen = total_gen + v * weights.get(k, 1.0)
             metrics[k] = v
-        metrics["loss_gen"] = total_gen
+        if gen_metrics:
+            metrics["loss_gen"] = total_gen
         metrics["loss_dis"] = loss_dis
         return total_gen, loss_dis, metrics
 
@@ -251,7 +256,8 @@ def build_train_steps(
 
         def loss_fn(dis_params):
             _, loss_dis, metrics = losses_and_metrics(
-                out, dis_params, x, True, state.step
+                out, dis_params, x, True, state.step,
+                gen_metrics=t.dis_full_metrics,
             )
             return loss_dis, metrics
 

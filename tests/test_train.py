@@ -99,6 +99,28 @@ def test_adversarial_and_dis_steps(setup):
     assert int(s.step) == 2
 
 
+def test_dis_full_metrics_same_loss(setup):
+    """train.dis_full_metrics only adds logging (the reconstruction
+    distances) to the dis step — the critic loss and update are identical."""
+    cfg, state, steps, x = setup
+    s, _ = steps["gen"](state, x, jax.random.key(2), warmed=True, quantize=False)
+    s, m_lite = steps["dis"](s, x, jax.random.key(3), quantize=False)
+    assert "loss_gen" not in m_lite and "multiband_spectral_distance" not in m_lite
+
+    cfg2 = compose(["v2"], TINY + ["train.dis_full_metrics=true"])
+    model = build_rave(cfg2, n_channels=1, train=True)
+    dis = build_discriminator(cfg2, n_channels=1)
+    state2 = create_train_state(cfg2, model, dis, jax.random.key(0), n_signal=8192)
+    steps2 = build_train_steps(cfg2, model, dis, crop_frames=(1, 1))
+    s2, _ = steps2["gen"](state2, x, jax.random.key(2), warmed=True, quantize=False)
+    s2, m_full = steps2["dis"](s2, x, jax.random.key(3), quantize=False)
+    assert "loss_gen" in m_full and "multiband_spectral_distance" in m_full
+    assert float(m_full["loss_dis"]) == float(m_lite["loss_dis"])
+    a = jax.tree_util.tree_leaves(s.dis_params)[0]
+    b = jax.tree_util.tree_leaves(s2.dis_params)[0]
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bf16_discriminator_matches_fp32(setup):
     """train.bf16_dis runs the critic in bf16 (weights cast per-op) with
     fp32 losses/grads: adversarial losses stay finite and close to the
