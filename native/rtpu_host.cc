@@ -26,6 +26,11 @@
 //                           invocations, so learn-target / learn-source /
 //                           transfer can run as separate processes.
 //
+// Compiled executables are cached in <model.rtpu>/.exe_cache keyed by
+// (method bytecode, platform), so the second launch skips the StableHLO
+// compile entirely — what an audio-plugin host wants at session open.
+// --no-exe-cache disables both lookup and write.
+//
 // Latent files are raw little-endian float32, [n_frames, latent_size]
 // row-major (the shape is printed and recoverable from the manifest).
 // The per-block seed is seed_base + block_index; the Python test replays
@@ -37,6 +42,7 @@
 // state_outputs give the flat indices; zeros initialize).
 
 #include <dlfcn.h>
+#include <sys/stat.h>
 
 #include <algorithm>
 #include <chrono>
@@ -351,6 +357,34 @@ std::string ReadFile(const std::string& path) {
                      std::istreambuf_iterator<char>());
 }
 
+bool TryReadFile(const std::string& path, std::string* out) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return false;
+  out->assign((std::istreambuf_iterator<char>(f)),
+              std::istreambuf_iterator<char>());
+  return true;
+}
+
+bool WriteFileAtomic(const std::string& path, const std::string& data) {
+  std::string tmp = path + ".tmp";
+  {
+    std::ofstream f(tmp, std::ios::binary | std::ios::trunc);
+    if (!f) return false;
+    f.write(data.data(), static_cast<std::streamsize>(data.size()));
+    if (!f) return false;
+  }
+  return rename(tmp.c_str(), path.c_str()) == 0;
+}
+
+uint64_t Fnv1a64(const std::string& s) {
+  uint64_t h = 1469598103934665603ull;
+  for (unsigned char c : s) {
+    h ^= c;
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
 xla::PrimitiveType DtypeToXla(const std::string& d) {
   if (d == "float32") return xla::F32;
   if (d == "uint32") return xla::U32;
@@ -486,12 +520,48 @@ class RtpuHost {
       exit(1);
     }
     std::string bytecode = ReadFile(dir_ + "/" + aot.at("mlir_file").str);
-    xla::XlaComputation comp;
-    CHECK_OK(xla::ParseMlirModuleStringAndConvertToXlaComputation(
-        bytecode, comp, /*use_tuple_args=*/false, /*return_tuple=*/false));
-    xla::CompileOptions copts;
     Method m;
-    m.exe = ValueOrDie(client_->CompileAndLoad(comp, copts), "compile");
+    // Executable cache: compiling the StableHLO dominates host startup
+    // (seconds per method on XLA:CPU). Serialized executables are keyed by
+    // (bytecode, platform); a compiler/machine mismatch just falls back to
+    // a fresh compile and rewrites the entry.
+    char cache_name[64];
+    snprintf(cache_name, sizeof cache_name, "%016llx.pjrt",
+             (unsigned long long)Fnv1a64(bytecode));
+    std::string platform(client_->platform_name());
+    std::string cache_dir = dir_ + "/.exe_cache";
+    std::string cache_path =
+        cache_dir + "/" + name + "." + platform + "." + cache_name;
+    std::string serialized;
+    if (!no_exe_cache_ && TryReadFile(cache_path, &serialized)) {
+      auto loaded = client_->LoadSerializedExecutable(
+          serialized, std::nullopt, xla::LoadOptions());
+      if (loaded.ok()) {
+        m.exe = std::move(loaded).value();
+      } else {
+        fprintf(stderr, "exe cache miss (%s): %s\n", name.c_str(),
+                loaded.status().ToString().c_str());
+      }
+    }
+    if (!m.exe) {
+      xla::XlaComputation comp;
+      CHECK_OK(xla::ParseMlirModuleStringAndConvertToXlaComputation(
+          bytecode, comp, /*use_tuple_args=*/false, /*return_tuple=*/false));
+      xla::CompileOptions copts;
+      m.exe = ValueOrDie(client_->CompileAndLoad(comp, copts), "compile");
+      if (!no_exe_cache_) {
+        auto ser = m.exe->SerializeExecutable();
+        if (ser.ok()) {
+          mkdir(cache_dir.c_str(), 0755);
+          if (!WriteFileAtomic(cache_path, *ser))
+            fprintf(stderr, "exe cache write failed: %s\n",
+                    cache_path.c_str());
+        } else {
+          fprintf(stderr, "exe serialize unsupported (%s): %s\n",
+                  platform.c_str(), ser.status().ToString().c_str());
+        }
+      }
+    }
     m.inputs = ParseSpecs(aot.at("inputs"));
     m.outputs = ParseSpecs(aot.at("outputs"));
     m.n_state = aot.at("n_state").i64();
@@ -681,6 +751,9 @@ class RtpuHost {
     return primary;
   }
 
+ public:
+  void set_no_exe_cache(bool v) { no_exe_cache_ = v; }
+
  private:
   std::string dir_;
   Json manifest_;
@@ -689,6 +762,7 @@ class RtpuHost {
   std::map<std::string, Method> methods_;
   std::vector<AttrOp> attrs_;
   std::string load_state_, save_state_;
+  bool no_exe_cache_ = false;
 };
 
 std::vector<float> AsFloats(const std::vector<char>& raw) {
@@ -748,6 +822,7 @@ int main(int argc, char** argv) {
   //                  --no-dither (prior decode without dither, for tests)
   std::string plugin;
   bool no_dither = false;
+  bool no_exe_cache = false;
   absl::flat_hash_map<std::string, xla::PjRtValueType> plugin_opts;
   std::vector<AttrOp> attrs;
   std::string load_state, save_state;
@@ -758,6 +833,8 @@ int main(int argc, char** argv) {
       plugin = argv[++i];
     } else if (a == "--no-dither") {
       no_dither = true;
+    } else if (a == "--no-exe-cache") {
+      no_exe_cache = true;
     } else if (a == "--attr" && i + 1 < argc) {
       std::string kv = argv[++i];
       size_t eq = kv.find('=');
@@ -796,7 +873,7 @@ int main(int argc, char** argv) {
     fprintf(stderr,
             "usage: rtpu_host [--plugin pjrt.so [--opt k=v ...]]\n"
             "                 [--attr name[=v] ...] [--load-state f] "
-            "[--save-state f] <model.rtpu> <command>\n"
+            "[--save-state f] [--no-exe-cache] <model.rtpu> <command>\n"
             "commands:\n"
             "  info\n"
             "  forward <in.wav> <out.wav> [seed]\n"
@@ -808,6 +885,7 @@ int main(int argc, char** argv) {
   }
   std::string dir = argv[1], cmd = argv[2];
   RtpuHost host(dir, plugin, plugin_opts);
+  host.set_no_exe_cache(no_exe_cache);
   host.SetStateOptions(std::move(attrs), load_state, save_state);
   const Json& man = host.manifest();
   int64_t block = man.at("block_size").i64();

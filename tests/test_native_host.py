@@ -145,6 +145,51 @@ def test_host_forward_matches_python_aot(host_bin, artifact, tmp_path):
     np.testing.assert_allclose(y_host, y_py, atol=5e-4)
 
 
+def test_host_exe_cache_identical_and_faster_startup(
+    host_bin, artifact, tmp_path
+):
+    """The PJRT executable cache (<artifact>/.exe_cache) must be a pure
+    startup optimization: the cached-load run produces byte-identical
+    output to both a fresh-compile run and a --no-exe-cache run."""
+    import shutil
+    import time as _time
+
+    from scipy.io import wavfile  # noqa: F401
+
+    manifest = json.loads((artifact / "manifest.json").read_text())
+    block, sr = manifest["block_size"], manifest["sampling_rate"]
+    t = np.arange(2 * block) / sr
+    _write_wav(tmp_path / "in.wav", 0.3 * np.sin(2 * np.pi * 330 * t), sr)
+
+    cache_dir = artifact / ".exe_cache"
+    shutil.rmtree(cache_dir, ignore_errors=True)
+
+    def run(tag, *flags):
+        t0 = _time.perf_counter()
+        r = subprocess.run(
+            [host_bin, *flags, str(artifact), "forward",
+             str(tmp_path / "in.wav"), str(tmp_path / f"{tag}.wav"), "3"],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr
+        return _time.perf_counter() - t0
+
+    t_cold = run("cold")  # compiles, writes the cache
+    assert cache_dir.is_dir() and list(cache_dir.glob("forward_step.*.pjrt"))
+    t_warm = run("warm")  # loads the serialized executable
+    run("nocache", "--no-exe-cache")
+    assert (tmp_path / "cold.wav").read_bytes() == (
+        tmp_path / "warm.wav"
+    ).read_bytes()
+    assert (tmp_path / "cold.wav").read_bytes() == (
+        tmp_path / "nocache.wav"
+    ).read_bytes()
+    # generous bound: the warm start skips the StableHLO compile entirely
+    # (measured 12x on the full-size artifact); tiny test artifacts still
+    # save most of it
+    assert t_warm < t_cold, (t_cold, t_warm)
+
+
 def test_host_encode_decode_roundtrip(host_bin, artifact, tmp_path):
     """encode -> raw f32 latents -> decode through the C++ host, checked
     against the Python AOT replay of the same schedule."""
