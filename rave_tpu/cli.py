@@ -267,6 +267,14 @@ def cmd_generate(argv):
     )
 
 
+def cmd_eval(argv):
+    """Reconstruction metrics of a run over a dataset split (beyond the
+    reference CLI — lets imported checkpoints / EMA shadows be compared)."""
+    from rave_tpu.train.evaluate import main as eval_main
+
+    eval_main(argv)
+
+
 def cmd_import_torch(argv):
     """Migrate a trained PyTorch reference checkpoint (acids-ircam/RAVE
     .ckpt) into a run directory this framework can export/generate from."""
@@ -343,6 +351,7 @@ COMMANDS = {
     "export": cmd_export,
     "export_onnx": cmd_export_onnx,
     "generate": cmd_generate,
+    "eval": cmd_eval,
     "import_torch": cmd_import_torch,
     "remote_dataset": cmd_remote_dataset,
 }

@@ -106,6 +106,20 @@ def test_cli_full_pipeline(corpus, tmp_path):
         f"generate dropped samples: {y.shape[0]} != {x_in.shape[0]}"
     )
 
+    # 4b. eval: dataset-level reconstruction metrics of the run (beyond
+    # the reference CLI); finite numbers over a real split
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _cli(["eval", "--run", run_dir, "--db_path", db, "--split", "all",
+              "--max_batches", 1, "--batch", 8])
+    ev = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert ev["n_clips"] > 0 and ev["step"] >= 1
+    assert np.isfinite(ev["spectral_distance"]) and ev["spectral_distance"] > 0
+    assert np.isfinite(ev["waveform_l1"])
+
     # 5. resume: re-invoking train with the same name picks up the
     # checkpoint and advances the step counter (reference train.py:257-263)
     ckpts_before = {p.name for p in (run_dir / "checkpoints").iterdir()}
