@@ -104,6 +104,15 @@ def train_metrics(batch=8, n_signal=131072, iters=8):
     return out
 
 
+def _train_metrics_safe():
+    """The inference north stars must survive a train-metrics failure —
+    the driver records this script's single JSON line either way."""
+    try:
+        return train_metrics()
+    except Exception as e:  # pragma: no cover - defensive gate path
+        return {"train_metrics_error": f"{type(e).__name__}: {e}"[:300]}
+
+
 def main():
     from rave_tpu.config import compose
     from rave_tpu.factory import build_rave
@@ -170,7 +179,7 @@ def main():
                 "streaming_realtime_headroom": round(budget_ms / block_ms, 1),
                 # per-phase train-step wall + MFU, v2 ("train_*") and v3
                 # ("v3_*"), at the reference geometry (batch 8 x 131072)
-                **train_metrics(),
+                **_train_metrics_safe(),
             }
         )
     )
