@@ -55,6 +55,10 @@ if __name__ == "__main__":
         "v3_bf16_all": (
             ["train.bf16=true", "train.bf16_dis=true"], ("v3",)
         ),
+        # A/B of the dis-step metric trim (the default skips the 4
+        # metric-only STFT stacks; this restores them)
+        "fullmetrics": (["train.dis_full_metrics=true"], ("v2",)),
+        "v3_fullmetrics": (["train.dis_full_metrics=true"], ("v3",)),
     }
     for name in which:
         ov, presets = variants[name]
