@@ -131,8 +131,78 @@ def run(
                 y = np.asarray(noise, np.float32).reshape(i[0].shape)
             else:
                 y = rng.standard_normal(i[0].shape).astype(np.float32)
+        # ---- ops below appear in torch-serialized graphs (the
+        # cross-vendor fixture, tests/test_onnx_crossvendor.py) ----------
+        elif op == "Constant":
+            v = a.get("value")
+            y = v.array if hasattr(v, "array") else np.asarray(v)
+        elif op == "Split":
+            axis = a.get("axis", 0)
+            if len(i) > 1 and i[1] is not None:  # opset >= 13: sizes input
+                sizes = [int(v) for v in i[1]]
+            elif "split" in a:
+                sizes = [int(v) for v in a["split"]]
+            else:
+                sizes = [i[0].shape[axis] // len(nd.outputs)] * len(nd.outputs)
+            y = tuple(np.split(i[0], np.cumsum(sizes)[:-1], axis=axis))
+        elif op == "Pad":
+            mode = a.get("mode", "constant")
+            if len(i) > 1 and i[1] is not None:  # opset >= 11: pads input
+                pads = [int(v) for v in i[1]]
+                cval = float(i[2]) if len(i) > 2 and i[2] is not None else 0.0
+            else:
+                pads = [int(v) for v in a.get("pads", [])]
+                cval = a.get("value", 0.0)
+            n = i[0].ndim
+            width = [(pads[k], pads[k + n]) for k in range(n)]
+            y = np.pad(
+                i[0], width,
+                mode={"constant": "constant", "reflect": "reflect",
+                      "edge": "edge"}[mode],
+                **({"constant_values": cval} if mode == "constant" else {}),
+            )
+        elif op == "Sqrt":
+            y = np.sqrt(i[0])
+        elif op == "Exp":
+            y = np.exp(i[0])
+        elif op == "Log":
+            y = np.log(i[0])
+        elif op == "Neg":
+            y = -i[0]
+        elif op == "Abs":
+            y = np.abs(i[0])
+        elif op == "Squeeze":
+            axes = a.get("axes")
+            if axes is None and len(i) > 1 and i[1] is not None:
+                axes = [int(v) for v in i[1]]
+            y = np.squeeze(i[0], axis=tuple(axes) if axes else None)
+        elif op == "Clip":
+            lo = i[1] if len(i) > 1 and i[1] is not None else a.get("min")
+            hi = i[2] if len(i) > 2 and i[2] is not None else a.get("max")
+            y = np.clip(i[0], lo, hi)
+        elif op == "ReduceMean":
+            axes = tuple(a.get("axes", range(i[0].ndim)))
+            y = np.mean(i[0], axis=axes, keepdims=bool(a.get("keepdims", 1)))
+        elif op == "ReduceSum":
+            axes = a.get("axes")
+            if axes is None and len(i) > 1 and i[1] is not None:
+                axes = [int(v) for v in i[1]]
+            axes = tuple(axes) if axes else tuple(range(i[0].ndim))
+            y = np.sum(i[0], axis=axes, keepdims=bool(a.get("keepdims", 1)))
+        elif op == "Expand":
+            y = i[0] * np.ones([int(v) for v in i[1]], dtype=i[0].dtype)
+        elif op == "ConstantOfShape":
+            v = a.get("value")
+            fill = v.array.reshape(-1)[0] if hasattr(v, "array") else 0.0
+            y = np.full([int(s) for s in i[0]], fill)
+        elif op == "Where":
+            y = np.where(i[0], i[1], i[2])
         else:
             raise NotImplementedError(f"op {op} not implemented in onnx_run")
-        env[nd.outputs[0]] = np.asarray(y)
+        if isinstance(y, tuple):
+            for name, val in zip(nd.outputs, y):
+                env[name] = np.asarray(val)
+        else:
+            env[nd.outputs[0]] = np.asarray(y)
 
     return {name: env[name] for name, _ in g.outputs}

@@ -227,6 +227,7 @@ def melody_track(n, tempo, root, scale, rng, voice="pluck", octave=0):
         else:
             g = formant_voice(f0, min(dur, 2.0), rng)
         j = int(i)
+        g = g[: len(y) - j]
         y[j : j + len(g)] += g * rng.uniform(0.5, 1.0)
         i += dur_beats * beat
     return y[:n]
@@ -243,6 +244,7 @@ def bass_track(n, tempo, root, scale, rng):
         dur = rng.choice([1.0, 2.0]) * beat / SR
         g = pluck(float(midi_to_hz(m)), min(dur, 2.0), rng, bright=0.6)
         j = int(i)
+        g = g[: len(y) - j]
         y[j : j + len(g)] += g
         i += dur * SR
     return y[:n]
@@ -260,6 +262,7 @@ def pad_track(n, tempo, root, scale, rng):
         dur = rng.choice([4.0, 8.0]) * beat / SR
         g = pad_chord(freqs, min(dur + 0.5, 10.0), rng)
         j = int(i)
+        g = g[: len(y) - j]
         y[j : j + len(g)] += g
         i += dur * SR
     return y[:n]
