@@ -21,10 +21,32 @@ from rave_tpu.ops.stft import stft
 BANDS = ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0))
 
 
+def _fold_apply(conv: WNConv, x):
+    """Apply a (k, 1)-kernel 2D-layout WNConv to a period-folded
+    [B*p, T, C] input as the equivalent 1D conv (same params, same math)."""
+    w, b = conv.weights(x.shape[-1])
+    y = jax.lax.conv_general_dilated(
+        x,
+        w[:, 0].astype(x.dtype),
+        window_strides=conv.strides[:1],
+        padding=((conv.padding[0], conv.padding[0]),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return y + b.astype(y.dtype)
+
+
 class MPD(nn.Module):
-    """Period-folded 2D critic (reference descript_discriminator.py:30-66)."""
+    """Period-folded 2D critic (reference descript_discriminator.py:30-66).
+
+    `packed=True` moves the period axis into the batch and runs the stack
+    as 1D convs on [B*p, T/p, C] — exactly the same values ((k, 1) kernels
+    never mix the period axis; see
+    models/discriminators.py MultiPeriodDiscriminator), feature maps
+    batch-major-permuted (all consumers are elementwise means over a
+    real/fake split the fold preserves)."""
 
     period: int
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -34,20 +56,26 @@ class MPD(nn.Module):
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="reflect")
         x = x.reshape(x.shape[0], -1, self.period, x.shape[-1])
+        if self.packed:
+            x = x.transpose(0, 2, 1, 3).reshape(
+                x.shape[0] * self.period, -1, x.shape[-1]
+            )
         fmap = []
         chans = [32, 128, 512, 1024, 1024]
         strides = [(3, 1)] * 4 + [(1, 1)]
         for i, (c, s) in enumerate(zip(chans, strides)):
-            x = WNConv(
+            conv = WNConv(
                 features=c, kernel_size=(5, 1), strides=s, padding=(2, 0),
                 name=f"conv_{i}",
-            )(x)
+            )
+            x = _fold_apply(conv, x) if self.packed else conv(x)
             fmap.append(x)
             x = jax.nn.leaky_relu(x, 0.1)
-        y = WNConv(
+        conv = WNConv(
             features=1, kernel_size=(3, 1), strides=(1, 1), padding=(1, 0),
             name="post",
-        )(x)
+        )
+        y = _fold_apply(conv, x) if self.packed else conv(x)
         fmap.append(y)
         return fmap
 

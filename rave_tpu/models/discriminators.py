@@ -78,48 +78,76 @@ class ConvNet(nn.Module):
 
     Reference: rave/discriminator.py:77-119. `kernel_size` int -> 1D over
     [B, T, C]; tuple -> 2D over [B, H, W, C].
-    """
+
+    `fold_width=True` (period-folded callers, see MultiPeriodDiscriminator)
+    takes an already width-folded [B*W, H, C] input and runs the stack as
+    plain 1D convs. Valid exactly when kernel_size[1] == 1: a (k, 1) 2D
+    conv never mixes the width axis, so the folded 1D conv computes the
+    SAME values with the same per-tap reduction order — the feature maps
+    are a pure batch-major permutation of the unfolded [B, H', W, C] ones.
+    Parameter layout stays the 2D one (checkpoint compatible)."""
 
     out_size: int
     capacity: int
     n_layers: int
     kernel_size: Any
     stride: int
+    fold_width: bool = False
+
+    def _apply(self, conv: WNConv, x):
+        """Apply `conv` (2D param layout) to a width-folded [B*W, H, C]
+        input as the equivalent 1D conv."""
+        w, b = conv.weights(x.shape[-1])
+        y = jax.lax.conv_general_dilated(
+            x,
+            w[:, 0].astype(x.dtype),
+            window_strides=conv.strides[:1],
+            padding=((conv.padding[0], conv.padding[0]),),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + b.astype(y.dtype)
 
     @nn.compact
     def __call__(self, x):
         feats = []
+        is_1d = isinstance(self.kernel_size, int)
         channels = [self.capacity * 2**i for i in range(self.n_layers)]
         for i in range(self.n_layers):
-            if isinstance(self.kernel_size, int):
+            if is_1d:
                 pad = (get_padding(self.kernel_size, self.stride, mode="centered")[0],)
-                y = WNConv(
+                conv = WNConv(
                     features=channels[i],
                     kernel_size=(self.kernel_size,),
                     strides=(self.stride,),
                     padding=pad,
-                )(x)
+                )
             else:
                 pad = (
                     get_padding(self.kernel_size[0], self.stride, mode="centered")[0],
                     0,
                 )
-                y = WNConv(
+                conv = WNConv(
                     features=channels[i],
                     kernel_size=tuple(self.kernel_size),
                     strides=(self.stride, 1),
                     padding=pad,
-                )(x)
+                )
+            if self.fold_width:
+                assert not is_1d and self.kernel_size[1] == 1
+                y = self._apply(conv, x)
+            else:
+                y = conv(x)
             feats.append(y)
             x = jax.nn.leaky_relu(y, 0.2)
-        nd = 1 if isinstance(self.kernel_size, int) else 2
-        y = WNConv(
+        nd = 1 if is_1d else 2
+        conv = WNConv(
             features=self.out_size,
             kernel_size=(1,) * nd,
             strides=(1,) * nd,
             padding=(0,) * nd,
             weight_norm=False,
-        )(x)
+        )
+        y = self._apply(conv, x) if self.fold_width else conv(x)
         feats.append(y)
         return feats
 
@@ -152,13 +180,25 @@ class MultiScaleDiscriminator(nn.Module):
 
 
 class MultiPeriodDiscriminator(nn.Module):
-    """Fold-by-period 2D critics (reference 174-195)."""
+    """Fold-by-period 2D critics (reference 174-195).
+
+    `packed=True` (default) moves the period axis into the BATCH and runs
+    each stack as 1D convs on [B*p, T/p, C]. A (k, 1) kernel never mixes
+    the period axis, so the folded stack computes exactly the same values;
+    feature maps come back batch-major-permuted, which every consumer in
+    train/steps.py (elementwise-mean feature matching + GAN losses over a
+    real/fake batch split that the fold preserves) is invariant to. On TPU
+    the tiny width axis (p = 2..11) otherwise sits in a tiled layout
+    dimension and the memory-bound stack pays the padding: folding is a
+    pure byte-traffic win with bit-identical parameters
+    (tests/test_discriminator_packed.py)."""
 
     periods: Tuple[int, ...]
     capacity: int = 64
     n_layers: int = 4
     kernel_size: Tuple[int, int] = (5, 1)
     stride: int = 4
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -167,6 +207,11 @@ class MultiPeriodDiscriminator(nn.Module):
             pad = (p - x.shape[1] % p) % p
             xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
             xp = xp.reshape(x.shape[0], -1, p, x.shape[-1])  # [B, T/p, p, C]
+            if self.packed:
+                # [B, T/p, p, C] -> [B*p, T/p, C] (period-major per sample)
+                xp = xp.transpose(0, 2, 1, 3).reshape(
+                    x.shape[0] * p, -1, x.shape[-1]
+                )
             feats.append(
                 ConvNet(
                     out_size=1,
@@ -174,6 +219,7 @@ class MultiPeriodDiscriminator(nn.Module):
                     n_layers=self.n_layers,
                     kernel_size=self.kernel_size,
                     stride=self.stride,
+                    fold_width=self.packed,
                     name=f"period_{p}_{i}",
                 )(xp)
             )

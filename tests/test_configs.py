@@ -38,6 +38,9 @@ CONFIGS = [
 ]
 
 # Exhaustive tail (marked slow; XLA compiles dominate on CPU CI).
+# Mirrors the reference's config-combination backbone
+# (reference tests/test_configs.py:15-42): every stock family, causal
+# crossed with every family, SR in {44100, 22050, 48000}, mono + stereo.
 CONFIGS_SLOW = [
     ["v2_nopqmf_small"],
     ["v2_with_augs"],
@@ -48,9 +51,23 @@ CONFIGS_SLOW = [
     ["v2", "adain"],
     ["v2", "noise"],
     ["v2", "spectral_discriminator"],
+    # causal x every family (reference doubles its whole list with
+    # causal.gin, tests/test_configs.py:37)
     ["v1", "causal"],
     ["discrete", "causal"],
     ["v2_small", "causal"],
+    ["v2_nopqmf", "causal"],
+    ["v3", "causal"],
+    ["hybrid", "causal"],
+    ["v2", "wasserstein", "causal"],
+    ["v2", "spherical", "causal"],
+    ["v2", "noise", "causal"],
+    ["v2", "snake", "causal"],
+    ["v2", "adain", "causal"],
+    ["discrete_v3", "causal"],
+    ["onnx", "causal"],
+    ["v2_with_augs", "causal"],
+    ["v2", "spectral_discriminator", "causal"],
 ]
 
 
@@ -64,11 +81,25 @@ CONFIGS_SLOW = [
     ]
     + [
         pytest.param(c, 2, 44100, marks=pytest.mark.slow)
-        for c in (["v1"], ["discrete"])
+        for c in (
+            ["v1"], ["discrete"], ["v3"], ["hybrid"], ["v2", "causal"],
+            ["v2_nopqmf"], ["v2", "wasserstein"], ["v2", "spherical"],
+        )
     ]
     + [
         pytest.param(c, 1, 22050, marks=pytest.mark.slow)
-        for c in (["v1"], ["v2"], ["discrete"])
+        for c in (
+            ["v1"], ["v2"], ["discrete"], ["v3"], ["hybrid"],
+            ["v2", "causal"], ["v2_small"],
+        )
+    ]
+    + [
+        pytest.param(c, 1, 48000, marks=pytest.mark.slow)
+        for c in (["v1"], ["v2"], ["discrete"], ["v2", "causal"], ["v3"])
+    ]
+    + [
+        pytest.param(["v2"], 2, 22050, marks=pytest.mark.slow),
+        pytest.param(["v2"], 2, 48000, marks=pytest.mark.slow),
     ],
     ids=lambda v: "-".join(v) if isinstance(v, list) else str(v),
 )
@@ -119,4 +150,6 @@ def test_config_roundtrip(names, n_channels, sr):
     feats = jax.jit(dis.apply)(dvars, jnp.concatenate([x, y[:, :T]], axis=0))
     assert len(feats) >= 1
     for scale in feats:
-        assert scale[-1].shape[0] == 4  # batch 2 real + 2 fake
+        # batch 2 real + 2 fake; period-folded critics return B*p rows
+        # (batch-major, so the real/fake split is preserved)
+        assert scale[-1].shape[0] % 4 == 0

@@ -25,12 +25,16 @@ TINY = [
 ]
 
 
-def _make_run(tmp_path, names, extra=()):
+def _make_run(tmp_path, names, extra=(), n_channels=1):
     cfg = config_lib.compose(names, TINY + list(extra))
     cfg.data.n_signal = 8192
-    model = build_rave(cfg, n_channels=1, train=True)
-    dis = build_discriminator(cfg, n_channels=1)
-    state = create_train_state(cfg, model, dis, jax.random.key(0), n_signal=8192)
+    cfg.data.n_channels = n_channels
+    model = build_rave(cfg, n_channels=n_channels, train=True)
+    dis = build_discriminator(cfg, n_channels=n_channels)
+    state = create_train_state(
+        cfg, model, dis, jax.random.key(0), n_signal=8192,
+        n_channels=n_channels,
+    )
     run_dir = tmp_path / "run"
     run_dir.mkdir()
     (run_dir / "config.json").write_text(config_lib.snapshot(cfg))
@@ -96,7 +100,36 @@ def test_export_resampled(tmp_path):
 @pytest.mark.parametrize(
     "names",
     [["v2"], ["v2", "causal"]]
-    + [pytest.param(c, marks=pytest.mark.slow) for c in (["discrete"], ["v2", "spherical"], ["v2", "wasserstein"])],
+    + [
+        pytest.param(c, marks=pytest.mark.slow)
+        for c in (
+            # every stock family exported at least once (the reference
+            # scripts+exports its whole config matrix,
+            # reference tests/test_configs.py:83-105)
+            ["discrete"],
+            ["v2", "spherical"],
+            ["v2", "wasserstein"],
+            ["v1"],
+            ["v3"],
+            ["hybrid"],
+            ["v2", "noise"],
+            ["v2_nopqmf"],
+            ["v2_small"],
+            ["onnx"],
+            ["raspberry"],
+            ["discrete_v3"],
+            ["v2_with_augs"],
+            ["v2", "snake"],
+            ["v2", "adain"],
+            # causal crossed with each exported family
+            ["v1", "causal"],
+            ["v3", "causal"],
+            ["hybrid", "causal"],
+            ["discrete", "causal"],
+            ["v2_nopqmf", "causal"],
+            ["v2", "noise", "causal"],
+        )
+    ],
     ids=lambda v: "-".join(v),
 )
 def test_export_roundtrip(tmp_path, names):
@@ -310,3 +343,67 @@ def test_portable_export_deserializes_and_matches(tmp_path):
     )
     assert y.shape == y_ref.shape
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_export_stereo_model(tmp_path):
+    """A 2-channel-trained model exports and reconstructs stereo
+    (reference test matrix crosses stereo with every config,
+    tests/test_configs.py:39-42)."""
+    from rave_tpu.export.artifact import ExportedRAVE
+    from rave_tpu.export.export import export_model
+
+    cfg, run_dir = _make_run(tmp_path, ["v2"], n_channels=2)
+    out = export_model(run=str(run_dir), streaming=True)
+    art = ExportedRAVE(str(out))
+    manifest = json.loads((Path(out) / "manifest.json").read_text())
+    assert manifest["n_channels"] == 2
+    block = manifest["block_size"]
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, block * 2, 2)) * 0.3,
+        jnp.float32,
+    )
+    y = art.forward(x)
+    assert y.shape[2] == 2
+    art.reset_stream()
+    ys = [
+        np.asarray(art.forward(x[:, i : i + block], streaming=True))
+        for i in range(0, block * 2, block)
+    ]
+    assert np.concatenate(ys, 1).shape == (1, block * 2, 2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_sr,target_sr", [(44100, 22050), (48000, 96000)])
+def test_export_target_sr(tmp_path, model_sr, target_sr):
+    """target_sr both below (host 22050) and above (host 96000, model at
+    48000) the model rate: the artifact resamples at both ends and sizes
+    its streaming block in host-rate samples (reference export.py:95-99;
+    closes the 'no 48000-family target_sr export test' gap)."""
+    from rave_tpu.export.artifact import ExportedRAVE
+    from rave_tpu.export.export import export_model
+
+    cfg, run_dir = _make_run(tmp_path, ["v2"], extra=[f"sampling_rate={model_sr}"])
+    out = export_model(run=str(run_dir), streaming=True, target_sr=target_sr)
+    art = ExportedRAVE(str(out))
+    manifest = json.loads((Path(out) / "manifest.json").read_text())
+    assert manifest["target_sampling_rate"] == target_sr
+    ratio = max(target_sr, model_sr) // min(target_sr, model_sr)
+    assert art.resampler is not None and art.resampler.ratio == ratio
+    block = art.block_size
+    model_block = manifest["block_size"]
+    assert block == (
+        model_block * ratio if target_sr > model_sr else model_block // ratio
+    ) or block == model_block  # ratio-1 fallback never happens here
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, block * 2, 1)) * 0.3,
+        jnp.float32,
+    )
+    y = art.forward(x)
+    assert y.shape == x.shape
+    art.reset_stream()
+    ys = [
+        np.asarray(art.forward(x[:, i : i + block], streaming=True))
+        for i in range(0, block * 2, block)
+    ]
+    assert np.concatenate(ys, 1).shape == x.shape
