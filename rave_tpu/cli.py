@@ -70,6 +70,12 @@ def cmd_train(argv):
         "--trace_steps", type=int, default=0,
         help="capture a jax.profiler trace for N steps into <run>/trace",
     )
+    p.add_argument(
+        "--device_data", choices=("auto", "on", "off"), default="auto",
+        help="device-resident dataset: whole int16 db in HBM, batches "
+        "assembled on-chip (auto: when the db fits "
+        "$RAVE_TPU_DEVICE_DATA_MAX_GB, default 4)",
+    )
     a = p.parse_args(argv)
 
     from rave_tpu import config as config_lib
@@ -100,6 +106,7 @@ def cmd_train(argv):
         resume=not a.no_resume,
         progress=not a.no_progress,
         trace_steps=a.trace_steps,
+        device_data=a.device_data,
     )
     print(f"run dir: {run_dir}")
 

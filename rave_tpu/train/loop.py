@@ -9,6 +9,7 @@ Reference flow: scripts/train.py:134-268 + rave/model.py callbacks.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from pathlib import Path
 from typing import Optional
@@ -55,6 +56,15 @@ class _NullLogger:
     log_text = log_audio = update_status = log
 
 
+def dataset_is_lazy(db_path: str) -> bool:
+    from rave_tpu.data.store import read_metadata
+
+    try:
+        return bool(read_metadata(db_path).get("lazy", False))
+    except Exception:
+        return True
+
+
 def train(
     cfg: RaveConfig,
     db_path: str,
@@ -69,6 +79,7 @@ def train(
     resume: bool = True,
     progress: bool = True,
     trace_steps: int = 0,
+    device_data: str = "auto",
 ):
     jax.devices()  # initialize the TPU backend before anything imports torch
     is_main = jax.process_index() == 0
@@ -98,7 +109,22 @@ def train(
         or cfg.data.normalize
         or cfg.data.rand_pitch
     )
-    if standard_pipeline and not str(db_path).startswith("http"):
+    # device-resident dataset: whole int16 store in HBM, batches made
+    # on-chip (zero steady-state host->device transfer). Standard pipeline
+    # + single process + fits the budget (data/device_data.py).
+    use_device_data = False
+    if (
+        device_data != "off"
+        and standard_pipeline
+        and host_count == 1
+        and not str(db_path).startswith("http")
+        and not dataset_is_lazy(db_path)
+    ):
+        from rave_tpu.data.device_data import db_nbytes
+
+        budget = float(os.environ.get("RAVE_TPU_DEVICE_DATA_MAX_GB", "4")) * 1e9
+        use_device_data = device_data == "on" or db_nbytes(db_path) <= budget
+    if not use_device_data and standard_pipeline and not str(db_path).startswith("http"):
         # standard pipeline -> threaded C++ sampler (crop/dither/mangle)
         try:
             from rave_tpu.data.loader import NativeLoader
@@ -112,7 +138,7 @@ def train(
                 print("using native (C++) input pipeline")
         except Exception:
             train_loader = None
-    if train_loader is None:
+    if train_loader is None and not use_device_data:
         train_loader = Loader(
             dataset, train_idx, cfg.data.batch, seed=seed,
             workers=cfg.data.workers,
@@ -231,7 +257,38 @@ def train(
     trace_start = step + 3 if trace_steps else -1
     tracing = False
 
-    data_iter = device_prefetch(train_loader.forever())
+    if use_device_data:
+        from rave_tpu.data.device_data import DeviceDataPipeline
+
+        pipeline = DeviceDataPipeline(
+            db_path, train_idx, cfg.data.batch, cfg.data.n_signal,
+            cfg.sampling_rate, seed=seed, mesh=mesh,
+        )
+        if progress:
+            from rave_tpu.data.device_data import db_nbytes
+
+            print(
+                f"using device-resident dataset "
+                f"({db_nbytes(db_path)/1e9:.2f} GB int16 in HBM, "
+                "batches assembled on-chip)"
+            )
+        # resume-safe: the on-chip pipeline is deterministic in the step
+        # counter, so a resumed run continues the same sample schedule;
+        # keep two batches dispatched ahead so assembly overlaps the step
+        def device_data_iter(start: int, depth: int = 2):
+            import collections
+
+            q = collections.deque()
+            s = start
+            while True:
+                while len(q) < depth:
+                    q.append(pipeline.batch_at(s))
+                    s += 1
+                yield q.popleft()
+
+        data_iter = device_data_iter(step)
+    else:
+        data_iter = device_prefetch(train_loader.forever())
     while step < max_steps:
         if trace_steps:
             if step == trace_start and not tracing:
