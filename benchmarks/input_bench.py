@@ -30,14 +30,17 @@ import numpy as np
 def loader_throughput(db, n=40):
     from rave_tpu.data.dataset import get_dataset, split_dataset
     from rave_tpu.data.loader import Loader, NativeLoader
+    from rave_tpu.train.loop import dataset_is_lazy
 
     ds = get_dataset(db, 44100, 131072)
     tr, _ = split_dataset(ds)
     out = {}
-    for name, mk in (
-        ("native", lambda: NativeLoader(db, tr, 8, 131072, 44100, seed=0)),
-        ("python", lambda: Loader(ds, tr, 8, seed=0, workers=8)),
-    ):
+    kinds = [("python", lambda: Loader(ds, tr, 8, seed=0, workers=8))]
+    if not dataset_is_lazy(db):  # the C++ sampler reads raw ARS records
+        kinds.insert(
+            0, ("native", lambda: NativeLoader(db, tr, 8, 131072, 44100, seed=0))
+        )
+    for name, mk in kinds:
         it = mk().forever()
         next(it)
         t0 = time.perf_counter()
@@ -119,6 +122,8 @@ def train_throughput(db, steps=120):
 
 if __name__ == "__main__":
     db = sys.argv[1]
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    rest = [a for a in sys.argv[2:] if a != "loaders-only"]
+    steps = int(rest[0]) if rest else 120
     loader_throughput(db)
-    train_throughput(db, steps)
+    if "loaders-only" not in sys.argv:
+        train_throughput(db, steps)

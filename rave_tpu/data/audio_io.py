@@ -85,10 +85,62 @@ def decode_file(
     return None
 
 
+def _to_int16(data: np.ndarray) -> np.ndarray:
+    if data.dtype == np.int16:
+        return data
+    if data.dtype == np.int32:
+        return (data >> 16).astype(np.int16)
+    if data.dtype == np.uint8:
+        return ((data.astype(np.int16) - 128) << 8).astype(np.int16)
+    return np.clip(data * 32768, -32768, 32767).astype(np.int16)
+
+
+def _decode_slice_wav(
+    path: str, start_sec: float, n_signal: int, sr: int, channels: int = 1
+) -> np.ndarray:
+    """ffmpeg-less seek-decode for .wav: scipy mmap's uncompressed PCM, so a
+    slice read touches only the requested frames (no whole-file decode)."""
+    from scipy.io import wavfile
+
+    file_sr, data = wavfile.read(str(path), mmap=True)
+    start = int(round(start_sec * file_sr))
+    need = (
+        n_signal
+        if file_sr == sr
+        else int(np.ceil(n_signal * file_sr / sr)) + 8
+    )
+    seg = np.asarray(data[start : start + need])
+    if seg.ndim == 1:
+        seg = seg[:, None]
+    if seg.shape[1] < channels:
+        seg = np.tile(seg, (1, channels))[:, :channels]
+    elif seg.shape[1] > channels:
+        seg = seg[:, :channels]
+    if file_sr != sr:
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(int(file_sr), int(sr))
+        seg = _to_int16(
+            resample_poly(
+                seg.astype(np.float32) / 32768.0, sr // g, file_sr // g, axis=0
+            )
+        )
+    else:
+        seg = _to_int16(seg)
+    if seg.shape[0] < n_signal:
+        seg = np.pad(seg, ((0, n_signal - seg.shape[0]), (0, 0)))
+    return seg[:n_signal]
+
+
 def decode_slice_ffmpeg(
     path: str, start_sec: float, n_signal: int, sr: int, channels: int = 1
 ) -> np.ndarray:
-    """Seek-decode a slice (reference rave/dataset.py:301-336)."""
+    """Seek-decode a slice (reference rave/dataset.py:301-336); falls back
+    to the mmap .wav reader when ffmpeg is absent."""
+    if not have_ffmpeg() and str(path).lower().endswith(".wav"):
+        return _decode_slice_wav(path, start_sec, n_signal, sr, channels)
     out = subprocess.run(
         [
             "ffmpeg", "-hide_banner", "-loglevel", "panic",
@@ -105,7 +157,16 @@ def decode_slice_ffmpeg(
 
 
 def probe_length(path: str) -> Tuple[float, int]:
-    """(duration_seconds, channels) via ffprobe."""
+    """(duration_seconds, channels) via ffprobe, or the .wav header when
+    ffprobe is absent (stdlib `wave` — no sample data is read)."""
+    if shutil.which("ffprobe") is None and str(path).lower().endswith(".wav"):
+        try:
+            import wave
+
+            with wave.open(str(path), "rb") as w:
+                return w.getnframes() / w.getframerate(), w.getnchannels()
+        except Exception:
+            return 0.0, 0
     try:
         out = subprocess.run(
             [

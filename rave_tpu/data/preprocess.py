@@ -40,8 +40,13 @@ def preprocess(
     out.mkdir(parents=True, exist_ok=True)
 
     if lazy:
-        if not have_ffmpeg():
-            raise RuntimeError("lazy preprocessing requires ffmpeg/ffprobe")
+        if not have_ffmpeg() and not all(
+            a.lower().endswith(".wav") for a in audios
+        ):
+            raise RuntimeError(
+                "lazy preprocessing requires ffmpeg/ffprobe for non-.wav "
+                "inputs (.wav works ffmpeg-less via the mmap reader)"
+            )
         entries = []
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for path, (dur, ch) in zip(audios, pool.map(probe_length, audios)):

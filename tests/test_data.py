@@ -392,13 +392,10 @@ def test_lazy_dataset_index_routing(tmp_path, monkeypatch):
     ]
 
 
-@pytest.mark.skipif(
-    not __import__("rave_tpu.data.audio_io", fromlist=["have_ffmpeg"]).have_ffmpeg(),
-    reason="lazy preprocessing requires ffmpeg/ffprobe",
-)
 def test_lazy_preprocess_end_to_end(tmp_path):
-    """`rave-tpu preprocess --lazy` + LazyAudioDataset round trip (runs on
-    CI hosts with ffmpeg installed)."""
+    """`rave-tpu preprocess --lazy` + LazyAudioDataset round trip. Works
+    with or without ffmpeg: .wav sources fall back to the header probe +
+    mmap slice reader (audio_io._decode_slice_wav)."""
     from scipy.io import wavfile
 
     from rave_tpu.data.dataset import LazyAudioDataset
@@ -422,3 +419,33 @@ def test_lazy_preprocess_end_to_end(tmp_path):
     x = d.get(1, np.random.default_rng(0))
     assert x.shape == (n_signal, 1)
     assert np.abs(x).max() > 0.1
+
+
+def test_wav_slice_reader_matches_whole_file(tmp_path):
+    """The ffmpeg-less mmap slice reader returns exactly the samples a
+    whole-file read would, at any offset; resampling slices match a
+    whole-file resample to a tolerance set by the polyphase edge."""
+    from scipy.io import wavfile
+
+    from rave_tpu.data.audio_io import _decode_slice_wav
+
+    sr, n = 44100, 8192
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(10 * n) * 8000).astype(np.int16)
+    p = tmp_path / "x.wav"
+    wavfile.write(p, sr, x)
+    for start_chunk in (0, 3, 7):
+        seg = _decode_slice_wav(str(p), start_chunk * n / sr, n, sr, 1)
+        np.testing.assert_array_equal(
+            seg[:, 0], x[start_chunk * n : (start_chunk + 1) * n]
+        )
+    # upsample path: 22050 -> 44100 slice vs whole-file resample
+    from scipy.signal import resample_poly
+
+    sr2 = 22050
+    p2 = tmp_path / "y.wav"
+    wavfile.write(p2, sr2, x)
+    seg = _decode_slice_wav(str(p2), 0.0, n, sr, 1)
+    ref = resample_poly(x.astype(np.float32) / 32768.0, 2, 1)[:n]
+    ref_i16 = np.clip(ref * 32768, -32768, 32767).astype(np.int16)
+    assert np.mean(np.abs(seg[:, 0].astype(np.int32) - ref_i16.astype(np.int32))) < 2.0
