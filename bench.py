@@ -50,8 +50,17 @@ def train_metrics(batch=8, n_signal=131072, iters=8):
 
     pf, _bw = _peak()
     out = {}
-    for tag, presets in (("train", ["v2"]), ("v3", ["v3"])):
-        cfg = compose(presets)
+    # fp32 stock lines + the quality-gated fast mode (bf16 model compute +
+    # bf16 critic; see docs/performance_guide.md bf16 soak/A-B) so the
+    # driver records both (VERDICT r3 item 4)
+    bf16 = ["train.bf16=true", "train.bf16_dis=true"]
+    for tag, presets, ov in (
+        ("train", ["v2"], []),
+        ("v3", ["v3"], []),
+        ("train_bf16", ["v2"], bf16),
+        ("v3_bf16", ["v3"], bf16),
+    ):
+        cfg = compose(presets, ov)
         model = build_rave(cfg, n_channels=1, train=True)
         dis = build_discriminator(cfg, n_channels=1)
         state = create_train_state(

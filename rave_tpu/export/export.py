@@ -28,8 +28,9 @@ from rave_tpu.utils.checkpoint import (
 )
 
 
-def load_run(run: str, use_ema: bool = False):
-    """(cfg, gen_params, model_state, n_channels) from a run directory."""
+def load_run(run: str, use_ema: bool = False, step=None):
+    """(cfg, gen_params, model_state, n_channels) from a run directory
+    (newest checkpoint, or the one at exactly `step`)."""
     run_dir = search_for_run(run)
     if run_dir is None:
         raise FileNotFoundError(f"no checkpoints under {run}")
@@ -40,7 +41,7 @@ def load_run(run: str, use_ema: bool = False):
     model = build_rave(cfg, n_channels=meta_channels, train=True)
     dis = build_discriminator(cfg, n_channels=meta_channels)
     template = create_train_state(cfg, model, dis, jax.random.key(0))
-    state = restore_checkpoint(run_dir, template)
+    state = restore_checkpoint(run_dir, template, step)
     if state is None:
         raise FileNotFoundError(f"could not restore checkpoint from {run_dir}")
     params = state.ema_params if (use_ema and state.ema_params is not None) else state.gen_params

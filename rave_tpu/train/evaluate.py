@@ -29,9 +29,11 @@ def evaluate(
     max_batches: Optional[int] = None,
     use_ema: bool = False,
     seed: int = 0,
+    step: Optional[int] = None,
 ) -> dict:
-    """Mean reconstruction metrics of a run's newest checkpoint over the
-    chosen split ('val' = the training 98/2 holdout, 'train', or 'all')."""
+    """Mean reconstruction metrics of a run's newest checkpoint (or the
+    checkpoint at exactly `step`) over the chosen split ('val' = the
+    training 98/2 holdout, 'train', or 'all')."""
     jax.devices()  # backend init before any torch import (DEVNOTES.md)
     from rave_tpu.data.dataset import get_dataset, split_dataset
     from rave_tpu.data.loader import Loader
@@ -39,7 +41,7 @@ def evaluate(
     from rave_tpu.factory import build_audio_distance, build_rave
     from rave_tpu.utils.checkpoint import latest_checkpoint
 
-    cfg, params, model_state, n_channels, run_dir = load_run(run, use_ema)
+    cfg, params, model_state, n_channels, run_dir = load_run(run, use_ema, step)
     if batch:
         cfg.data.batch = batch
     if n_signal:
@@ -92,7 +94,7 @@ def evaluate(
         n_clips += xb.shape[0]
         n_batches += 1
 
-    ckpt = latest_checkpoint(str(run_dir))
+    ckpt = latest_checkpoint(str(run_dir), step)
     step = int(str(ckpt.name).split("_")[-1]) if ckpt is not None else -1
     wmean = lambda acc: sum(v * n for v, n in acc) / max(n_clips, 1)
     return {
@@ -118,11 +120,15 @@ def main(argv=None):
     p.add_argument("--n_signal", type=int, default=0)
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--ema_weights", action="store_true")
+    p.add_argument(
+        "--step", type=int, default=0,
+        help="evaluate the checkpoint at exactly this step (default: newest)",
+    )
     a = p.parse_args(argv)
     out = evaluate(
         a.run, a.db_path, split=a.split, batch=a.batch or None,
         n_signal=a.n_signal or None, max_batches=a.max_batches or None,
-        use_ema=a.ema_weights,
+        use_ema=a.ema_weights, step=a.step or None,
     )
     print(json.dumps(out))
 

@@ -30,14 +30,25 @@ def list_checkpoints(run_dir: str):
     return sorted(p for p in d.iterdir() if p.name.startswith("step_"))
 
 
-def latest_checkpoint(run_dir: str) -> Optional[Path]:
+def latest_checkpoint(run_dir: str, step: Optional[int] = None) -> Optional[Path]:
+    """Newest checkpoint, or the one at exactly `step` when given."""
     ckpts = list_checkpoints(run_dir)
+    if step is not None:
+        want = f"step_{step:010d}"
+        hits = [p for p in ckpts if p.name == want]
+        if not hits:
+            raise FileNotFoundError(
+                f"no checkpoint at step {step} under {run_dir} "
+                f"(available: {[int(p.name.split('_')[-1]) for p in ckpts]})"
+            )
+        return hits[0]
     return ckpts[-1] if ckpts else None
 
 
-def restore_checkpoint(run_dir: str, target: Any) -> Any:
-    """Restore the newest checkpoint into `target`'s structure."""
-    path = latest_checkpoint(run_dir)
+def restore_checkpoint(run_dir: str, target: Any, step: Optional[int] = None) -> Any:
+    """Restore the newest checkpoint (or the one at `step`) into `target`'s
+    structure."""
+    path = latest_checkpoint(run_dir, step)
     if path is None:
         return None
     ckptr = ocp.StandardCheckpointer()

@@ -141,3 +141,33 @@ def test_eval_imported_checkpoint(db_and_run, tmp_path):
     out = evaluate(str(run_dir), db, split="val", n_signal=N_SIGNAL)
     assert np.isfinite(out["spectral_distance"]) and out["spectral_distance"] > 0
     assert out["step"] == 0  # imported checkpoints land at step 0
+
+
+def test_eval_at_step(db_and_run, tmp_path):
+    """--step selects an exact checkpoint (used to trace quality across a
+    run's saved history); a missing step raises with the available list."""
+    import shutil
+
+    db, run = db_and_run
+    run2 = tmp_path / "run2"
+    shutil.copytree(run, run2)
+    cfg = config_lib.compose(["v2"], TINY)
+    cfg.data.n_signal = N_SIGNAL
+    cfg.train.ema = 0.999
+    model = build_rave(cfg, n_channels=1, train=True)
+    dis = build_discriminator(cfg, n_channels=1)
+    state = create_train_state(cfg, model, dis, jax.random.key(9), n_signal=N_SIGNAL)
+    state = state.replace(
+        ema_params=jax.tree_util.tree_map(lambda p: p * 0.5, state.gen_params)
+    )
+    save_checkpoint(str(run2), 7, jax.device_get(state))
+
+    newest = evaluate(str(run2), db, split="val")
+    at3 = evaluate(str(run2), db, split="val", step=3)
+    assert newest["step"] == 7 and at3["step"] == 3
+    assert at3["spectral_distance"] != newest["spectral_distance"]
+    # the step-3 checkpoint is the same one the shared fixture run holds
+    ref = evaluate(run, db, split="val")
+    assert at3["spectral_distance"] == ref["spectral_distance"]
+    with pytest.raises(FileNotFoundError, match="available"):
+        evaluate(str(run2), db, split="val", step=4)
