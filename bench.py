@@ -1,8 +1,16 @@
 """Benchmark: v2 encode+decode realtime factor on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference paper's ~20x realtime claim on laptop CPU
-(BASELINE.md north star: >= 20x realtime per chip @ 44.1 kHz).
+Prints the north-star JSON line {"metric", "value", "unit", "vs_baseline"}
+as soon as the inference + streaming numbers exist, then re-prints an
+enriched line with per-phase train metrics (the driver takes the last
+parseable line). Baseline: the reference paper's ~20x realtime claim on
+laptop CPU (BASELINE.md north star: >= 20x realtime per chip @ 44.1 kHz).
+
+Budget: RAVE_TPU_BENCH_BUDGET seconds wall-clock (default 780). Train
+configs run in priority order (v2, v3, then the bf16 fast modes) and a
+config that does not fit the remaining budget is skipped and named in
+"train_skipped" — the script never runs past its budget into a driver
+timeout (VERDICT r4 item 1).
 
 Methodology: the iteration loop runs on-device under lax.scan with inputs
 generated in-kernel from per-iteration PRNG keys (so no transfer cost and
@@ -15,6 +23,13 @@ from __future__ import annotations
 import json
 import os
 import time
+
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("RAVE_TPU_BENCH_BUDGET", "780"))
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.monotonic() - _T0)
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
@@ -36,7 +51,8 @@ def _peak():
 
 def train_metrics(batch=8, n_signal=131072, iters=8):
     """Per-phase compiled train-step wall time + MFU at the reference's
-    training geometry (batch 8 x 131072), v2 and v3 (descript critic).
+    training geometry (batch 8 x 131072), v2 and v3 (descript critic),
+    plus the quality-gated bf16 fast modes when the budget allows.
 
     MFU = XLA cost_analysis FLOPs / wall / chip bf16 peak — the honest
     roofline fraction (VERDICT r2 item 1). FLOPs are optimized-HLO counts,
@@ -50,6 +66,11 @@ def train_metrics(batch=8, n_signal=131072, iters=8):
 
     pf, _bw = _peak()
     out = {}
+    skipped = []
+    # conservative prior for a config's cost (compile + measure) with a
+    # warm persistent compile cache; refined from the configs already run
+    est = {"train": 150.0, "v3": 240.0, "train_bf16": 150.0, "v3_bf16": 240.0}
+    spent = {}
     # fp32 stock lines + the quality-gated fast mode (bf16 model compute +
     # bf16 critic; see docs/performance_guide.md bf16 soak/A-B) so the
     # driver records both (VERDICT r3 item 4)
@@ -60,6 +81,13 @@ def train_metrics(batch=8, n_signal=131072, iters=8):
         ("train_bf16", ["v2"], bf16),
         ("v3_bf16", ["v3"], bf16),
     ):
+        # budget gate: a fresh-compile config costs ~1.5x the warmest
+        # comparable config already measured (same family ~= same graphs)
+        need = max(est[tag], 1.5 * spent.get(tag.split("_")[0], 0.0))
+        if _remaining() < need + 30.0:
+            skipped.append(tag)
+            continue
+        t_cfg = time.monotonic()
         cfg = compose(presets, ov)
         model = build_rave(cfg, n_channels=1, train=True)
         dis = build_discriminator(cfg, n_channels=1)
@@ -110,6 +138,10 @@ def train_metrics(batch=8, n_signal=131072, iters=8):
         # update_discriminator_every=4, 3 of 4 steps run gen, 1 runs dis
         n = cfg.train.update_discriminator_every
         out[f"{tag}_it_s"] = round(n / ((n - 1) * tg + td), 2)
+        fam = tag.split("_")[0]
+        spent[fam] = max(spent.get(fam, 0.0), time.monotonic() - t_cfg)
+    if skipped:
+        out["train_skipped"] = skipped
     return out
 
 
@@ -174,24 +206,23 @@ def main():
     per_iter = max(per_iter, t_big / (iters * 4))
     xrt = batch * n_signal / cfg.sampling_rate / per_iter
     block_ms, budget_ms = stream_latency()
-    print(
-        json.dumps(
-            {
-                "metric": "v2_encode_decode_realtime_factor",
-                "value": round(xrt, 1),
-                "unit": "x_realtime_per_chip",
-                "vs_baseline": round(xrt / 20.0, 2),
-                # second north-star metric (BASELINE.md): p50 per-block
-                # latency of the causal streaming path, one chip
-                "streaming_block_ms_p50": round(block_ms, 3),
-                "streaming_block_budget_ms": round(budget_ms, 2),
-                "streaming_realtime_headroom": round(budget_ms / block_ms, 1),
-                # per-phase train-step wall + MFU, v2 ("train_*") and v3
-                # ("v3_*"), at the reference geometry (batch 8 x 131072)
-                **_train_metrics_safe(),
-            }
-        )
-    )
+    base = {
+        "metric": "v2_encode_decode_realtime_factor",
+        "value": round(xrt, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(xrt / 20.0, 2),
+        # second north-star metric (BASELINE.md): p50 per-block
+        # latency of the causal streaming path, one chip
+        "streaming_block_ms_p50": round(block_ms, 3),
+        "streaming_block_budget_ms": round(budget_ms, 2),
+        "streaming_realtime_headroom": round(budget_ms / block_ms, 1),
+    }
+    # north stars go out NOW so a kill during train metrics still leaves a
+    # parseable record; the enriched line below supersedes it on success
+    print(json.dumps(base), flush=True)
+    # per-phase train-step wall + MFU, v2 ("train_*") and v3 ("v3_*"), at
+    # the reference geometry (batch 8 x 131072), budget-guarded
+    print(json.dumps({**base, **_train_metrics_safe()}), flush=True)
 
 
 def stream_latency(blocks: int = 64, repeats: int = 5):

@@ -122,25 +122,42 @@ def cmd_train_prior(argv):
     p.add_argument("--max_steps", type=int, default=1_000_000)
     p.add_argument("--val_every", type=int, default=10000)
     p.add_argument("--fidelity", type=float, default=0.95)
+    p.add_argument(
+        "--config", default=None,
+        help="reference prior gin file (configs/prior/prior_v1.gin) — "
+        "VariationalPrior bindings become the architecture defaults; "
+        "explicit flags below override",
+    )
     # prior architecture (the reference's prior_v1.gin bindings,
     # rave/configs/prior/prior_v1.gin:1-8)
-    p.add_argument("--resolution", type=int, default=32)
-    p.add_argument("--res_size", type=int, default=512)
-    p.add_argument("--skp_size", type=int, default=256)
-    p.add_argument("--kernel_size", type=int, default=3)
-    p.add_argument("--cycle_size", type=int, default=4)
-    p.add_argument("--n_layers", type=int, default=10)
+    p.add_argument("--resolution", type=int, default=None)
+    p.add_argument("--res_size", type=int, default=None)
+    p.add_argument("--skp_size", type=int, default=None)
+    p.add_argument("--kernel_size", type=int, default=None)
+    p.add_argument("--cycle_size", type=int, default=None)
+    p.add_argument("--n_layers", type=int, default=None)
     p.add_argument("--smoke_test", action="store_true")
     a = p.parse_args(argv)
     from rave_tpu.prior.train import train_prior
+
+    # stock defaults == prior_v1.gin; a --config gin overrides them, an
+    # explicit CLI flag overrides both
+    arch = dict(resolution=32, res_size=512, skp_size=256, kernel_size=3,
+                cycle_size=4, n_layers=10)
+    if a.config:
+        from rave_tpu.config_gin import prior_kwargs_from_gin
+
+        arch.update(prior_kwargs_from_gin(a.config))
+    for k in arch:
+        v = getattr(a, k)
+        if v is not None:
+            arch[k] = v
 
     train_prior(
         run=a.run, db_path=a.db_path, name=a.name, out_path=a.out_path,
         batch=a.batch, n_signal=a.n_signal, max_steps=a.max_steps,
         val_every=a.val_every, fidelity=a.fidelity,
-        resolution=a.resolution, res_size=a.res_size, skp_size=a.skp_size,
-        kernel_size=a.kernel_size, cycle_size=a.cycle_size,
-        n_layers=a.n_layers, smoke_test=a.smoke_test,
+        smoke_test=a.smoke_test, **arch,
     )
 
 

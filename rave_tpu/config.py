@@ -215,18 +215,32 @@ class RaveConfig:
 
     def block_size(self) -> int:
         """Minimum streaming block in waveform samples: lcm of the encoder
-        decimation, decoder upsampling, and the PQMF 2-frame parity."""
+        decimation, decoder upsampling, the PQMF 2-frame parity, and the
+        decoder's internal strided branches (noise synth / loud stride).
+
+        Strided streaming convs drop input that is not a whole multiple of
+        their stride (nn/conv.py Conv1d.step), so the block must hand every
+        strided branch a whole number of its frames. The noise nets run at
+        the decoder's wave-frame rate (n_band samples per frame under pqmf
+        output) and downsample by prod(ratios); loud_gen strides by
+        loud_stride at the same rate."""
         import math
 
         dec = self.decimation()
         up = 1
         for r in self.dec_ratios():
             up *= r
-        if self.output_mode == "pqmf":
-            up *= self.n_band
-        b = math.lcm(dec, up)
+        band = self.n_band if self.output_mode == "pqmf" else 1
+        b = math.lcm(dec, up * band)
         if self.input_mode == "pqmf" or self.output_mode == "pqmf":
             b = math.lcm(b, 2 * self.n_band)
+        if self.decoder.kind == "v1":
+            if self.decoder.use_noise_v1:
+                b = math.lcm(b, band * math.prod(self.decoder.v1_noise_ratios))
+            if self.decoder.loud_stride > 1:
+                b = math.lcm(b, band * self.decoder.loud_stride)
+        elif self.decoder.kind == "v2" and self.decoder.use_noise:
+            b = math.lcm(b, band * math.prod(self.decoder.noise_ratios))
         return b
 
 
@@ -564,6 +578,19 @@ def compose(names: List[str], overrides: Optional[List[str]] = None) -> RaveConf
         PRESETS[key](cfg)
     for ov in overrides or []:
         apply_override(cfg, ov)
+    up = 1
+    for r in cfg.dec_ratios():
+        up *= r
+    if cfg.output_mode == "pqmf":
+        up *= cfg.n_band
+    if up != cfg.decimation():
+        # an autoencoder must be rate-preserving; catching it here beats a
+        # shape error (or silent drift) deep inside export/streaming
+        raise ValueError(
+            f"config is not rate-preserving: encoder decimation "
+            f"{cfg.decimation()} != decoder upsampling {up} — check "
+            f"ratios/encoder.ratios/mel_hop/n_band"
+        )
     return cfg
 
 

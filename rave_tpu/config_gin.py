@@ -31,7 +31,13 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 from rave_tpu.config import PRESETS, RaveConfig
 
-__all__ = ["apply_gin_file", "config_from_gin", "GinParseError"]
+__all__ = [
+    "apply_gin_file",
+    "config_from_gin",
+    "augmentations_from_gin",
+    "prior_kwargs_from_gin",
+    "GinParseError",
+]
 
 
 class GinParseError(ValueError):
@@ -463,7 +469,18 @@ def _rule_noise_module(ctx, val, raw):
     ctx.cfg.decoder.use_noise = isinstance(val, GinRef)
 
 
+def _rule_add_augmentation(ctx, val, raw):
+    """`add_augmentation: aug = @augmentations/transforms.X()` — the
+    grammar of the reference's configs/augmentations/*.gin files
+    (scripts/train.py:127-132 parses one file per --augment flag and calls
+    add_augmentation() once, consuming the file's last `aug` binding)."""
+    if isinstance(val, GinRef):
+        ctx.added_augs.append(val)
+
+
 _RULES: Dict[str, Callable] = {
+    # ---- augmentation files (configs/augmentations/*.gin) ------------------
+    "add_augmentation.aug": _rule_add_augmentation,
     # ---- core / distances -------------------------------------------------
     "AudioDistanceV1.log_epsilon": _set("distance.log_epsilon", float),
     "AudioDistanceV1.multiscale_stft": _ignore,
@@ -700,6 +717,9 @@ class _Ctx:
         self.env: Dict[str, Any] = {}
         self.aug_params: Dict[str, Dict[str, Any]] = {}
         self.pending_augs: Optional[List[GinRef]] = None
+        # `add_augmentation: aug = @...` bindings, in file order (the
+        # reference's configs/augmentations/*.gin grammar)
+        self.added_augs: List[GinRef] = []
         self.combine_kind: Optional[str] = None
         self.unknown: List[str] = []
 
@@ -829,6 +849,12 @@ def apply_gin_file(
             _emit_aug_spec(r, ctx.aug_params.get(r.name.split("/")[-1], {}))
             for r in ctx.pending_augs
         )
+    if ctx.added_augs:
+        # an augmentation gin stacked as --config behaves like --augment
+        cfg.data.augmentations = tuple(cfg.data.augmentations) + tuple(
+            _emit_aug_spec(r, ctx.aug_params.get(r.name.split("/")[-1], {}))
+            for r in ctx.added_augs
+        )
     if _is_model_root(text):
         cfg.name = p.stem
     if strict and ctx.unknown:
@@ -841,3 +867,71 @@ def apply_gin_file(
 def config_from_gin(path: str, strict: bool = False) -> RaveConfig:
     """Parse a reference .gin file into a fresh RaveConfig."""
     return apply_gin_file(RaveConfig(), path, strict=strict)
+
+
+def augmentations_from_gin(path: str) -> List[str]:
+    """Parse a reference augmentation gin file
+    (rave/configs/augmentations/{mute,compress,gain}.gin and user files of
+    the same grammar) into inline JSON spec strings consumable by
+    data/transforms.get_augmentations.
+
+    The reference resolves each `--augment <name>` flag to `<name>.gin`,
+    parses it, and calls add_augmentation() once per file
+    (scripts/train.py:127-132) — so the file's last `aug` binding is the
+    effective one; class-parameter bindings (`RandomGain.gain_range = ...`)
+    in the same file are applied onto the emitted spec."""
+    p = Path(path)
+    ctx = _Ctx(RaveConfig())
+    _apply_text(ctx, p.read_text(), [p.parent, p.parent.parent, Path.cwd()])
+    refs = ctx.added_augs[-1:] if ctx.added_augs else []
+    if not refs:
+        raise GinParseError(
+            f"{path}: no `add_augmentation: aug = @...` binding found"
+        )
+    return [
+        _emit_aug_spec(r, ctx.aug_params.get(r.name.split("/")[-1], {}))
+        for r in refs
+    ]
+
+
+# VariationalPrior gin params (rave/configs/prior/prior_v1.gin:1-8) ->
+# train_prior keyword names (rave_tpu/prior/train.py:33-48). `sr` is bound
+# to @get_model_sr() in the stock file — derived from the run dir here, so
+# it is ignored.
+_PRIOR_PARAMS = {
+    "resolution": int,
+    "res_size": int,
+    "skp_size": int,
+    "kernel_size": int,
+    "cycle_size": int,
+    "n_layers": int,
+}
+
+
+def prior_kwargs_from_gin(path: str) -> Dict[str, Any]:
+    """Parse a reference prior gin file (configs/prior/prior_v1.gin) into
+    train_prior(...) keyword arguments."""
+    p = Path(path)
+    out: Dict[str, Any] = {}
+    unknown: List[str] = []
+    for stmt in _split_statements(p.read_text()):
+        if stmt.kind != "binding":
+            continue
+        target, _, param = stmt.key.rpartition(".")
+        cls = target.split("/")[-1].split(".")[-1]
+        if cls not in ("VariationalPrior", "Prior", "Model"):
+            unknown.append(stmt.key)
+            continue
+        if param == "sr":
+            continue  # derived from the RAVE run dir
+        if param not in _PRIOR_PARAMS:
+            unknown.append(stmt.key)
+            continue
+        val = _parse_value(stmt.value, {})
+        out[param] = _PRIOR_PARAMS[param](val)
+    if not out:
+        raise GinParseError(
+            f"{path}: no VariationalPrior bindings found "
+            f"(untranslated: {unknown})"
+        )
+    return out

@@ -116,19 +116,20 @@ def _decode_slice_wav(
         seg = np.tile(seg, (1, channels))[:, :channels]
     elif seg.shape[1] > channels:
         seg = seg[:, :channels]
+    # normalize dtype BEFORE resampling: the /32768 scaling below is only
+    # valid for int16 (float32/int32/uint8 WAVs would be silently
+    # corrupted otherwise — ADVICE r4)
+    seg = _to_int16(seg)
     if file_sr != sr:
         from math import gcd
 
         from scipy.signal import resample_poly
 
         g = gcd(int(file_sr), int(sr))
-        seg = _to_int16(
-            resample_poly(
-                seg.astype(np.float32) / 32768.0, sr // g, file_sr // g, axis=0
-            )
+        x = resample_poly(
+            seg.astype(np.float32) / 32768.0, sr // g, file_sr // g, axis=0
         )
-    else:
-        seg = _to_int16(seg)
+        seg = np.clip(x * 32768, -32768, 32767).astype(np.int16)
     if seg.shape[0] < n_signal:
         seg = np.pad(seg, ((0, n_signal - seg.shape[0]), (0, 0)))
     return seg[:n_signal]
@@ -158,13 +159,19 @@ def decode_slice_ffmpeg(
 
 def probe_length(path: str) -> Tuple[float, int]:
     """(duration_seconds, channels) via ffprobe, or the .wav header when
-    ffprobe is absent (stdlib `wave` — no sample data is read)."""
+    ffprobe is absent (scipy mmap — no sample data is read).
+
+    The scipy probe accepts exactly the formats the training-time mmap
+    slice reader (`_decode_slice_wav`) can serve — IEEE-float WAVs pass,
+    24-bit PCM is rejected here rather than failing later mid-training
+    (ADVICE r4)."""
     if shutil.which("ffprobe") is None and str(path).lower().endswith(".wav"):
         try:
-            import wave
+            from scipy.io import wavfile
 
-            with wave.open(str(path), "rb") as w:
-                return w.getnframes() / w.getframerate(), w.getnchannels()
+            file_sr, data = wavfile.read(str(path), mmap=True)
+            ch = 1 if data.ndim == 1 else int(data.shape[1])
+            return data.shape[0] / file_sr, ch
         except Exception:
             return 0.0, 0
     try:

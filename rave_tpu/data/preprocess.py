@@ -48,12 +48,28 @@ def preprocess(
                 "inputs (.wav works ffmpeg-less via the mmap reader)"
             )
         entries = []
+        dropped = []
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for path, (dur, ch) in zip(audios, pool.map(probe_length, audios)):
                 if dur > 0:
                     entries.append(
                         {"path": str(path), "length": int(dur * sampling_rate)}
                     )
+                else:
+                    dropped.append(str(path))
+        if dropped:
+            # fail loudly: a file the probe rejects would otherwise fail
+            # (or vanish) at training time — e.g. 24-bit PCM, which the
+            # ffmpeg-less mmap reader cannot serve (ADVICE r4)
+            msg = (
+                f"lazy preprocess: {len(dropped)}/{len(audios)} files cannot "
+                "be probed/mmap'd and were skipped:\n  "
+                + "\n  ".join(dropped[:20])
+                + ("\n  ..." if len(dropped) > 20 else "")
+            )
+            if not entries:
+                raise RuntimeError(msg)
+            print(f"WARNING: {msg}")
         with open(out / "entries.json", "w") as f:
             json.dump(entries, f, indent=1)
         meta = {

@@ -134,22 +134,31 @@ class RandomGain(Transform):
     the reference's forward accidentally returns the un-gained tensor — here
     the gain is actually applied)."""
 
-    def __init__(self, gain_range=(-6.0, 3.0)):
+    def __init__(self, gain_range=(-6.0, 3.0), prob: float = 0.5,
+                 limit: bool = True):
+        # `prob`/`limit` take the reference's parameter names
+        # (rave/transforms.py:149) so gin/JSON specs port unchanged
         self.gain_range = gain_range
+        self.prob = prob
+        self.limit = limit
 
     def __call__(self, rng, x):
+        if self.prob < 1.0 and rng.random() >= self.prob:
+            return x
         g = rng.uniform(*self.gain_range)
         amp = 10 ** (g / 20)
-        peak = np.max(np.abs(x)) + 1e-9
-        amp = min(amp, 1.0 / peak)
+        if self.limit:
+            peak = np.max(np.abs(x)) + 1e-9
+            amp = min(amp, 1.0 / peak)
         return x * amp
 
 
 class RandomMute(Transform):
-    """Zero the example with probability p (reference rave/transforms.py:168-177)."""
+    """Zero the example with probability p (reference rave/transforms.py:168-177).
+    `prob` is accepted as the reference's name for the same parameter."""
 
-    def __init__(self, p: float = 0.1):
-        self.p = p
+    def __init__(self, p: float = 0.1, prob: Optional[float] = None):
+        self.p = p if prob is None else prob
 
     def __call__(self, rng, x):
         if rng.random() < self.p:
@@ -404,7 +413,7 @@ _AUGMENTATIONS: Dict[str, Callable[[int], Transform]] = {
     # which instantiate the transforms with their class defaults
     "mute": lambda sr: RandomMute(p=0.1),
     "compress": lambda sr: RandomCompress(sr=sr),
-    "gain": lambda sr: RandomApply(RandomGain((-6.0, 3.0)), p=0.5),
+    "gain": lambda sr: RandomGain((-6.0, 3.0), prob=0.5),
 }
 
 
@@ -447,12 +456,25 @@ def get_augmentations(names: Sequence[str], sr: int) -> List[Transform]:
             out.append(_AUGMENTATIONS[s](sr))
         elif s.startswith("{"):
             out.append(_from_spec(_json.loads(s), sr))
+        elif s.endswith(".gin"):
+            # reference augmentation gin file (configs/augmentations/*.gin,
+            # scripts/train.py:127-132) — a reference user's literal
+            # `--augment mute.gin` works unchanged; a stock name with the
+            # extension but no file resolves to the built-in equivalent
+            stem = Path(s).stem
+            if not Path(s).is_file() and stem in _AUGMENTATIONS:
+                out.append(_AUGMENTATIONS[stem](sr))
+                continue
+            from rave_tpu.config_gin import augmentations_from_gin
+
+            for spec in augmentations_from_gin(s):
+                out.append(_from_spec(_json.loads(spec), sr))
         elif s.endswith(".py") or Path(s).is_file():
             out.extend(load_augmentation_file(s, sr))
         else:
             raise KeyError(
                 f"unknown augmentation '{s}': not a registry name "
-                f"({sorted(_AUGMENTATIONS)}), JSON spec, or file"
+                f"({sorted(_AUGMENTATIONS)}), JSON spec, .gin/.py file"
             )
     return out
 

@@ -121,14 +121,15 @@ def main(argv=None):
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--ema_weights", action="store_true")
     p.add_argument(
-        "--step", type=int, default=0,
-        help="evaluate the checkpoint at exactly this step (default: newest)",
+        "--step", type=int, default=None,
+        help="evaluate the checkpoint at exactly this step (default: newest);"
+        " 0 is a valid explicit step (imported checkpoints land there)",
     )
     a = p.parse_args(argv)
     out = evaluate(
         a.run, a.db_path, split=a.split, batch=a.batch or None,
         n_signal=a.n_signal or None, max_batches=a.max_batches or None,
-        use_ema=a.ema_weights, step=a.step or None,
+        use_ema=a.ema_weights, step=a.step,
     )
     print(json.dumps(out))
 

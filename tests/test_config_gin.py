@@ -141,3 +141,82 @@ def test_all_presets_have_gin_or_are_native():
     stock = {p.stem for p in REF_CONFIGS.glob("*.gin")}
     assert stock <= set(STOCK)
     assert set(STOCK) <= set(PRESETS)
+
+
+# ---------------------------------------------------------------------------
+# augmentation + prior gin files (VERDICT r4 item 6: a reference user's
+# literal `--augment mute.gin` and `configs/prior/prior_v1.gin` must work
+# unchanged — reference scripts/train.py:127-132, prior_v1.gin:1-8)
+# ---------------------------------------------------------------------------
+
+AUG_GINS = REF_CONFIGS / "augmentations"
+
+
+@needs_ref
+@pytest.mark.parametrize("name,cls", [
+    ("mute", "RandomMute"), ("compress", "RandomCompress"),
+    ("gain", "RandomGain"),
+])
+def test_stock_augmentation_gin(name, cls):
+    """Each stock augmentation gin parses to one instance of the right
+    transform class with the reference class defaults."""
+    from rave_tpu.config_gin import augmentations_from_gin
+    from rave_tpu.data.transforms import get_augmentations
+
+    specs = augmentations_from_gin(str(AUG_GINS / f"{name}.gin"))
+    assert len(specs) == 1 and f'"{cls}"' in specs[0]
+    (t,) = get_augmentations([str(AUG_GINS / f"{name}.gin")], sr=44100)
+    assert type(t).__name__ == cls
+    # reference class defaults carried through
+    if cls == "RandomMute":
+        assert t.p == 0.1
+    elif cls == "RandomGain":
+        assert t.prob == 0.5 and tuple(t.gain_range) == (-6, 3)
+    elif cls == "RandomCompress":
+        assert t.prob == 0.8 and t.threshold == -40
+
+
+def test_custom_augmentation_gin(tmp_path):
+    """A user gin with parameter bindings applies them onto the emitted
+    transform; the last add_augmentation binding wins (the reference calls
+    add_augmentation() once per file)."""
+    from rave_tpu.data.transforms import get_augmentations
+
+    g = tmp_path / "my.gin"
+    g.write_text(
+        "transforms.RandomGain.gain_range = (-12, 0)\n"
+        "transforms.RandomGain.prob = 0.9\n"
+        "add_augmentation:\n"
+        "    aug = @augmentations/transforms.RandomGain()\n"
+    )
+    (t,) = get_augmentations([str(g)], sr=44100)
+    assert type(t).__name__ == "RandomGain"
+    assert tuple(t.gain_range) == (-12, 0) and t.prob == 0.9
+
+
+def test_augment_gin_name_fallback():
+    """`--augment mute.gin` with no such file resolves to the built-in."""
+    from rave_tpu.data.transforms import get_augmentations
+
+    (t,) = get_augmentations(["mute.gin"], sr=44100)
+    assert type(t).__name__ == "RandomMute" and t.p == 0.1
+
+
+@needs_ref
+def test_prior_gin_roundtrip():
+    """configs/prior/prior_v1.gin parses to exactly the stock train_prior
+    architecture kwargs (sr is derived from the run dir, not the gin)."""
+    from rave_tpu.config_gin import prior_kwargs_from_gin
+
+    kw = prior_kwargs_from_gin(str(REF_CONFIGS / "prior" / "prior_v1.gin"))
+    assert kw == dict(resolution=32, res_size=512, skp_size=256,
+                      kernel_size=3, cycle_size=4, n_layers=10)
+
+
+def test_prior_gin_rejects_empty(tmp_path):
+    g = tmp_path / "empty.gin"
+    g.write_text("# nothing here\n")
+    with pytest.raises(GinParseError):
+        from rave_tpu.config_gin import prior_kwargs_from_gin
+
+        prior_kwargs_from_gin(str(g))

@@ -86,7 +86,7 @@ def test_transforms():
     fx = np.abs(np.fft.rfft(x[:, 0]))
     fy = np.abs(np.fft.rfft(y[:, 0]))
     assert np.abs(fx - fy).mean() / fx.mean() < 0.1
-    g = T.RandomGain((-6, -6))(rng, x * 0.1)
+    g = T.RandomGain((-6, -6), prob=1.0)(rng, x * 0.1)
     assert np.allclose(g, x * 0.1 * 10 ** (-6 / 20), atol=1e-5)
     c = T.Compose(T.RandomCrop(128), T.Dequantize(16))(rng, x)
     assert c.shape == (128, 1)
@@ -449,3 +449,78 @@ def test_wav_slice_reader_matches_whole_file(tmp_path):
     ref = resample_poly(x.astype(np.float32) / 32768.0, 2, 1)[:n]
     ref_i16 = np.clip(ref * 32768, -32768, 32767).astype(np.int16)
     assert np.mean(np.abs(seg[:, 0].astype(np.int32) - ref_i16.astype(np.int32))) < 2.0
+
+
+def test_wav_slice_reader_dtype_normalization(tmp_path):
+    """float32 / int32 / uint8 WAVs must decode correctly through the
+    ffmpeg-less slice reader, INCLUDING on the resample branch (ADVICE r4:
+    the old code divided raw samples by 32768 regardless of dtype, so a
+    resampled float32 WAV became silence and int32 saturated)."""
+    from scipy.io import wavfile
+
+    from rave_tpu.data.audio_io import _decode_slice_wav
+
+    sr, n = 44100, 4096
+    t = np.arange(4 * n) / sr
+    wave = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ref = np.clip(wave * 32768, -32768, 32767).astype(np.int16)
+
+    cases = {
+        "f32.wav": wave,
+        "i32.wav": (wave * 2147483647).astype(np.int32),
+        "u8.wav": (np.clip((wave * 127 + 128), 0, 255)).astype(np.uint8),
+    }
+    for name, data in cases.items():
+        p = tmp_path / name
+        wavfile.write(p, sr, data)
+        # no-resample branch
+        seg = _decode_slice_wav(str(p), 0.0, n, sr, 1)[:, 0]
+        tol = 300 if name == "u8.wav" else 2
+        assert np.mean(np.abs(seg.astype(np.int32) - ref[:n].astype(np.int32))) < tol, name
+        # resample branch (44.1k file -> 22.05k target): output must keep
+        # the signal's energy, not collapse to silence or saturate
+        seg2 = _decode_slice_wav(str(p), 0.0, n // 2, sr // 2, 1)[:, 0]
+        rms = np.sqrt(np.mean((seg2 / 32768.0) ** 2))
+        want = np.sqrt(np.mean(wave[:n] ** 2))
+        assert abs(rms - want) < 0.05 * want + 0.02, (name, rms, want)
+
+
+def test_probe_length_float_wav(tmp_path, monkeypatch):
+    """IEEE-float WAVs must probe correctly in the ffmpeg-less path
+    (ADVICE r4: the stdlib `wave` probe raised on format-3 WAVs, silently
+    dropping them from the lazy dataset)."""
+    import shutil as _sh
+
+    from scipy.io import wavfile
+
+    from rave_tpu import data as _data
+    from rave_tpu.data import audio_io
+
+    monkeypatch.setattr(audio_io.shutil, "which", lambda name: None)
+    sr = 22050
+    p = tmp_path / "f.wav"
+    wavfile.write(p, sr, np.zeros(3 * sr, np.float32))
+    dur, ch = audio_io.probe_length(str(p))
+    assert abs(dur - 3.0) < 1e-6 and ch == 1
+    # stereo int16 still probes
+    p2 = tmp_path / "s.wav"
+    wavfile.write(p2, sr, np.zeros((sr, 2), np.int16))
+    dur, ch = audio_io.probe_length(str(p2))
+    assert abs(dur - 1.0) < 1e-6 and ch == 2
+
+
+def test_lazy_preprocess_fails_loudly_when_nothing_probes(tmp_path, monkeypatch):
+    """A lazy preprocess whose every file fails the probe must raise with
+    the file list, not write an empty dataset (ADVICE r4)."""
+    import pytest
+
+    from rave_tpu.data import audio_io, preprocess as pp
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "bad.wav").write_bytes(b"RIFFxxxxWAVE")  # not a valid wav
+    monkeypatch.setattr(audio_io.shutil, "which", lambda name: None)
+    monkeypatch.setattr(pp, "have_ffmpeg", lambda: False)
+    with pytest.raises(RuntimeError, match="bad.wav"):
+        pp.preprocess(str(corpus), str(tmp_path / "db"), 4096, 22050, 1,
+                      lazy=True, workers=1)

@@ -134,9 +134,13 @@ def test_export_resampled(tmp_path):
 )
 def test_export_roundtrip(tmp_path, names):
     from rave_tpu.export.artifact import ExportedRAVE
+    # TINY shrinks the shared ratios to [4,4,2] (x32); hybrid's mel frontend
+    # keeps its own encoder ratios, so its hop must shrink in step to keep
+    # forward rate-preserving (full-size hybrid: 256*8 == 128*16 == 2048)
+    extra = ["mel_hop=64"] if "hybrid" in names else []
     from rave_tpu.export.export import export_model
 
-    cfg, run_dir = _make_run(tmp_path, names)
+    cfg, run_dir = _make_run(tmp_path, names, extra=extra)
     out = export_model(run=str(run_dir), streaming=True)
     out = Path(out)
     manifest = json.loads((out / "manifest.json").read_text())
