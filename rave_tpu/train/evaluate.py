@@ -67,6 +67,29 @@ def evaluate(
     model = build_rave(cfg, n_channels=n_channels, train=False)
     distance = build_audio_distance(cfg)
 
+    # Fréchet mel distance (FMD): Fréchet distance between the Gaussian
+    # fits of real vs reconstructed log-mel frame distributions — a
+    # distribution-level realism metric in the spirit of FAD (Kilgour et
+    # al. 2019) with log-mel frames as the embedding (no pretrained
+    # network is available offline). Unlike the pairwise spectral
+    # distance, it does not punish the adversarial phase for abandoning
+    # per-sample fidelity, so it answers "is the GAN phase helping".
+    from rave_tpu.ops.stft import mel_filterbank, spectrogram
+
+    n_mels, n_fft, hop = 64, 1024, 256
+    mel_fb = jnp.asarray(mel_filterbank(cfg.sampling_rate, n_fft, n_mels))
+
+    def _mel_stats(sig):
+        """log-mel frames -> (count, sum[n_mels], outer-sum[n_mels^2])."""
+        s = spectrogram(sig[..., 0], n_fft, hop)  # [B, F, bins]
+        m = jnp.log(jnp.einsum("bfk,mk->bfm", s, mel_fb) + 1e-5)
+        flat = m.reshape(-1, n_mels)
+        return (
+            flat.shape[0],
+            jnp.sum(flat, axis=0),
+            flat.T @ flat,
+        )
+
     @jax.jit
     def eval_step(x, rng):
         variables = {"params": params, **model_state}
@@ -77,20 +100,33 @@ def evaluate(
             zs, _ = mdl.reparametrize(z)
             y = mdl.decode(zs)[:, : x.shape[1], :]
             d = distance(x, y)
-            return sum(d.values()), jnp.mean(jnp.abs(y - x))
+            return (
+                sum(d.values()),
+                jnp.mean(jnp.abs(y - x)),
+                _mel_stats(x),
+                _mel_stats(y),
+            )
 
         return model.apply(variables, rngs={"noise": rng}, method=run_fn)
 
     rng = jax.random.key(1234)
     spectral, wave, n_clips, n_batches = [], [], 0, 0
+    stats = {
+        "real": [0, np.zeros(n_mels), np.zeros((n_mels, n_mels))],
+        "fake": [0, np.zeros(n_mels), np.zeros((n_mels, n_mels))],
+    }
     for b, x in enumerate(loader.epoch(0)):
         if max_batches is not None and b >= max_batches:
             break
         xb = jnp.asarray(x)
-        s, w = eval_step(xb, rng)
+        s, w, st_r, st_f = eval_step(xb, rng)
         # partial trailing batches change the jit shape; weight by size
         spectral.append((float(s), xb.shape[0]))
         wave.append((float(w), xb.shape[0]))
+        for key, st in (("real", st_r), ("fake", st_f)):
+            stats[key][0] += int(st[0])
+            stats[key][1] += np.asarray(st[1], np.float64)
+            stats[key][2] += np.asarray(st[2], np.float64)
         n_clips += xb.shape[0]
         n_batches += 1
 
@@ -100,6 +136,7 @@ def evaluate(
     return {
         "spectral_distance": round(wmean(spectral), 6),
         "waveform_l1": round(wmean(wave), 6),
+        "frechet_mel_distance": round(_frechet(stats["real"], stats["fake"]), 6),
         "n_clips": n_clips,
         "n_batches": n_batches,
         "split": split,
@@ -107,6 +144,25 @@ def evaluate(
         "ema": bool(use_ema),
         "run": str(run_dir),
     }
+
+
+def _frechet(real, fake) -> float:
+    """Fréchet distance between two Gaussians given (count, sum, outer-sum)
+    sufficient statistics: |mu1-mu2|^2 + tr(S1 + S2 - 2 (S1 S2)^(1/2))."""
+    import scipy.linalg
+
+    out = []
+    for n, s, o in (real, fake):
+        n = max(n, 2)
+        mu = s / n
+        cov = o / n - np.outer(mu, mu)
+        out.append((mu, cov))
+    (mu1, c1), (mu2, c2) = out
+    diff = float(np.sum((mu1 - mu2) ** 2))
+    covmean = scipy.linalg.sqrtm(c1 @ c2)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return diff + float(np.trace(c1) + np.trace(c2) - 2.0 * np.trace(covmean))
 
 
 def main(argv=None):

@@ -345,6 +345,15 @@ def train(
                 )
                 for p in (0.8, 0.9, 0.95, 0.99):
                     logger.log(step, {f"fidelity_{p}": float(np.argmax(fid > p))})
+            if quantize and "codebook" in state.model_state:
+                # RVQ health at scale (reference rave/quantization.py:111-126
+                # keeps these EMA stats; logging them answers the "do codes
+                # stay alive over 100k steps" question): per-run mean
+                # perplexity + fraction of codes carrying real mass
+                perp, usage = codebook_health(state.model_state["codebook"])
+                logger.log(step, {
+                    "codebook_perplexity": perp, "codebook_usage": usage,
+                })
             if val_loss is not None and val_loss <= best_val:
                 # val_loss is computed on the global batch, so every host
                 # reaches the same decision; host 0 writes
@@ -366,6 +375,27 @@ def train(
     if saved_at != step and is_main:
         save_checkpoint(str(run_dir), step, jax.device_get(state))
     return str(run_dir)
+
+
+def codebook_health(codebook_state) -> tuple:
+    """(mean perplexity, mean live-code fraction) over every quantizer's
+    EMA cluster_size in the 'codebook' collection. Host-side, val-rate."""
+    perps, usages = [], []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(codebook_state)[0]:
+        if "cluster_size" not in jax.tree_util.keystr(path):
+            continue
+        cs = np.asarray(jax.device_get(leaf)).reshape(-1)
+        total = float(cs.sum())
+        if total <= 0:
+            continue
+        p = cs / total
+        ent = float(-(p * np.log(np.maximum(p, 1e-12))).sum())
+        perps.append(float(np.exp(ent)))
+        # EMA mass >= half a uniform share counts as a live code
+        usages.append(float((cs > 0.5 * total / cs.size).mean()))
+    if not perps:
+        return 0.0, 0.0
+    return float(np.mean(perps)), float(np.mean(usages))
 
 
 def run_validation(

@@ -68,6 +68,9 @@ def test_eval_val_split(db_and_run):
     assert out["split"] == "val" and out["step"] == 3 and out["ema"] is False
     assert np.isfinite(out["spectral_distance"]) and out["spectral_distance"] > 0
     assert np.isfinite(out["waveform_l1"]) and out["waveform_l1"] > 0
+    # FMD: an untrained decoder's output distribution is far from the data
+    assert np.isfinite(out["frechet_mel_distance"])
+    assert out["frechet_mel_distance"] > 0.1
     json.dumps(out)  # one-JSON-line contract
 
 

@@ -183,7 +183,10 @@ def test_v1_stream_equivalence(mode):
 def test_mel_stream_equivalence():
     """Hybrid (mel-input) encode streaming matches offline."""
     cfg, model = _build(
-        ["hybrid"], extra=["encoder.ratios=[2,2]", "encoder.dilations=[1]"]
+        ["hybrid"],
+        # mel_hop shrinks with the encoder ratios so the config stays
+        # rate-preserving (compose() enforces it): 128*4 == 32*16 == 512
+        extra=["encoder.ratios=[2,2]", "encoder.dilations=[1]", "mel_hop=128"],
     )
     block = cfg.block_size()
     T = block * 24
