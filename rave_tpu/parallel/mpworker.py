@@ -61,6 +61,11 @@ def run(
         jax.config.update("jax_num_cpu_devices", local_devices)
         # oracle tests compare against fp32-exact matmuls (tests/conftest.py)
         jax.config.update("jax_default_matmul_precision", "highest")
+        # inherit the test suite's fast-compile mode (tests/conftest.py):
+        # all ranks AND the single-process oracle share the flag, so the
+        # bitwise cross-rank comparison stays apples-to-apples
+        if os.environ.get("RAVE_TPU_TEST_FAST", "0") != "0":
+            jax.config.update("jax_disable_most_optimizations", True)
         if num_processes > 1:
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
             jax.distributed.initialize(

@@ -38,7 +38,8 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # compile path; RAVE_TPU_TEST_FAST=0 restores full optimization (numeric
 # oracles are tolerance- or self-consistency-based, so both modes pass —
 # see CI_RUNS round-5 A/B).
-if os.environ.get("RAVE_TPU_TEST_FAST", "1") != "0":
+os.environ.setdefault("RAVE_TPU_TEST_FAST", "1")  # children inherit
+if os.environ["RAVE_TPU_TEST_FAST"] != "0":
     jax.config.update("jax_disable_most_optimizations", True)
     # fast-mode executables must not poison the optimized cache
     os.environ["JAX_COMPILATION_CACHE_DIR"] = (
