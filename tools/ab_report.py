@@ -70,15 +70,18 @@ def main():
         sys.exit("no common checkpoint steps between the two runs")
 
     print(f"| step | {args.label_a} spectral | {args.label_b} spectral "
-          f"| {args.label_a} L1 | {args.label_b} L1 |")
-    print("|---|---|---|---|---|")
+          f"| {args.label_a} L1 | {args.label_b} L1 "
+          f"| {args.label_a} FMD | {args.label_b} FMD |")
+    print("|---|---|---|---|---|---|---|")
     final = {}
     for s in steps:
         ea = _eval(run_a, args.db_path, s, args.ema)
         eb = _eval(run_b, args.db_path, s, args.ema)
         print(f"| {s} | {ea['spectral_distance']:.4f} "
               f"| {eb['spectral_distance']:.4f} "
-              f"| {ea['waveform_l1']:.4f} | {eb['waveform_l1']:.4f} |",
+              f"| {ea['waveform_l1']:.4f} | {eb['waveform_l1']:.4f} "
+              f"| {ea['frechet_mel_distance']:.3f} "
+              f"| {eb['frechet_mel_distance']:.3f} |",
               flush=True)
         final = {"a": ea, "b": eb, "step": s}
 
@@ -95,6 +98,8 @@ def main():
     print(json.dumps({
         "final_step": final["step"],
         f"{args.label_a}_spectral": ra, f"{args.label_b}_spectral": rb,
+        f"{args.label_a}_fmd": final["a"]["frechet_mel_distance"],
+        f"{args.label_b}_fmd": final["b"]["frechet_mel_distance"],
         "relative_regression": round(rel, 4), "tolerance": args.tol,
         "pass": bool(ok),
     }))

@@ -18,14 +18,27 @@ OUT=/tmp/runs_r5
 mkdir -p "$OUT"
 
 COMMON="--db_path $DB --out_path $OUT --batch 8 --n_signal 131072 \
-  --val_every 2500 --save_every 10000 --ema 0.999 --seed 0 --no_resume \
+  --val_every 2500 --save_every 10000 --ema 0.999 --seed 0 \
   --no_progress --device_data on"
 
 run() {  # run <name> <logfile> <args...>
   local name=$1 log=$2; shift 2
   echo "=== $name start $(date -u +%H:%M:%S) ==="
-  python -m rave_tpu.cli train --name "$name" $COMMON "$@" \
-    > "$OUT/$log" 2>&1
+  # the remote TPU relay occasionally drops a compile mid-flight
+  # ("response body closed"); resume-retry up to 3 times — checkpoints
+  # make each retry pick up where the last attempt died
+  local attempt rc
+  for attempt in 1 2 3; do
+    rc=0
+    python -m rave_tpu.cli train --name "$name" \
+      $COMMON $([ "$attempt" -eq 1 ] && echo --no_resume) "$@" \
+      > "$OUT/$log.$attempt" 2>&1 || rc=$?
+    [ $rc -eq 0 ] && break
+    echo "--- $name attempt $attempt failed rc=$rc, retrying"
+    sleep 30
+  done
+  cat "$OUT/$log".* > "$OUT/$log" 2>/dev/null || true
+  [ $rc -eq 0 ] || { echo "=== $name FAILED after retries ==="; return $rc; }
   echo "=== $name done  $(date -u +%H:%M:%S) ==="
 }
 
