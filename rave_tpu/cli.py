@@ -76,12 +76,22 @@ def cmd_train(argv):
         "assembled on-chip (auto: when the db fits "
         "$RAVE_TPU_DEVICE_DATA_MAX_GB, default 4)",
     )
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 fast mode: model compute and critic in bfloat16 "
+        "(master weights stay fp32) — shorthand for "
+        "--override train.bf16=true --override train.bf16_dis=true; "
+        "quality-gated vs fp32 (docs/performance_guide.md A/B)",
+    )
     a = p.parse_args(argv)
 
     from rave_tpu import config as config_lib
     from rave_tpu.train.loop import train
 
     cfg = config_lib.compose(a.config or ["v2"], a.override)
+    if a.bf16:
+        cfg.train.bf16 = True
+        cfg.train.bf16_dis = True
     cfg.data.batch = a.batch
     cfg.data.n_signal = a.n_signal
     cfg.data.workers = a.workers

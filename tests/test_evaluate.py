@@ -174,3 +174,20 @@ def test_eval_at_step(db_and_run, tmp_path):
     assert at3["spectral_distance"] == ref["spectral_distance"]
     with pytest.raises(FileNotFoundError, match="available"):
         evaluate(str(run2), db, split="val", step=4)
+
+
+def test_frechet_gaussian_math():
+    """_frechet on sufficient statistics: zero between identical
+    distributions, the closed form |mu1-mu2|^2 for equal covariances, and
+    symmetric in its arguments."""
+    from rave_tpu.train.evaluate import _frechet
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4096, 8))
+    stat = lambda d: [d.shape[0], d.sum(0), d.T @ d]
+    assert abs(_frechet(stat(x), stat(x))) < 1e-6
+    shifted = x + 2.0
+    d = _frechet(stat(x), stat(shifted))
+    # equal covariances: FD = |mu1 - mu2|^2 = 8 * 2^2
+    assert abs(d - 32.0) < 0.1
+    assert abs(d - _frechet(stat(shifted), stat(x))) < 1e-6
