@@ -15,18 +15,22 @@ import shutil
 import sys
 from pathlib import Path
 
-SKIP = {"checkpoints"}
+# checkpoints are orbax trees of full-size params (hundreds of MB);
+# tb event files carry rendered audio summaries (tens of MB) whose scalar
+# content is already in metrics.jsonl — both stay out of git, inventoried
+SKIP = {"checkpoints", "tb"}
 
 
 def collect(src: Path, dst: Path) -> None:
     dst.mkdir(parents=True, exist_ok=True)
     for item in sorted(src.iterdir()):
         if item.name in SKIP:
-            # record which checkpoints existed without shipping them
-            steps = sorted(
-                p.name for p in item.iterdir() if p.is_dir()
+            # record what existed without shipping it
+            entries = sorted(
+                f"{p.name}  {p.stat().st_size if p.is_file() else '<dir>'}"
+                for p in item.iterdir()
             )
-            (dst / "checkpoints.txt").write_text("\n".join(steps) + "\n")
+            (dst / f"{item.name}.txt").write_text("\n".join(entries) + "\n")
             continue
         if item.is_dir():
             shutil.copytree(item, dst / item.name, dirs_exist_ok=True)
