@@ -68,14 +68,27 @@ def _run_dir(name: str) -> str | None:
 
 
 def _progress_mtime(run_dir: str | None) -> float:
+    """mtime of the newest *training-progress* file, or 0.0 before any
+    training step has landed. config/status files are written at process
+    start, so only a non-empty metrics.jsonl counts as progress — a run
+    must stay on the generous cold threshold through its entire first
+    compile+RF-probe phase (10+ min fresh on full-size bf16 configs)."""
     if not run_dir:
         return 0.0
     best = 0.0
-    for fname in ("metrics.jsonl", "status.json"):
-        try:
-            best = max(best, os.path.getmtime(os.path.join(run_dir, fname)))
-        except OSError:
-            pass
+    metrics = os.path.join(run_dir, "metrics.jsonl")
+    try:
+        if os.path.getsize(metrics) > 0:
+            best = os.path.getmtime(metrics)
+            # once training is live, status.json ticks every step and is
+            # the freshest signal (metrics flush every 100 steps)
+            try:
+                best = max(best, os.path.getmtime(
+                    os.path.join(run_dir, "status.json")))
+            except OSError:
+                pass
+    except OSError:
+        pass
     return best
 
 
