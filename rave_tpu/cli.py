@@ -288,16 +288,27 @@ def _verify_onnx(cfg, params, model_state, n_channels, data):
 def cmd_generate(argv):
     p = argparse.ArgumentParser("rave-tpu generate")
     p.add_argument("--model", required=True, help="run dir or exported artifact")
-    p.add_argument("--input", required=True, nargs="+")
+    p.add_argument("--input", nargs="+", default=[])
     p.add_argument("--out_path", default="generated")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--chunk_size", type=int, default=0)
+    p.add_argument(
+        "--prior_seconds", type=float, default=0.0,
+        help="unconditional generation: sample this many seconds of latents "
+        "from the artifact's bundled prior and decode (no --input needed)",
+    )
+    p.add_argument("--prior_samples", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
     a = p.parse_args(argv)
+    if not a.input and not a.prior_seconds:
+        p.error("either --input files or --prior_seconds is required")
     from rave_tpu.export.generate import generate
 
     generate(
         model=a.model, inputs=a.input, out_path=a.out_path,
         streaming=a.streaming, chunk_size=a.chunk_size or None,
+        prior_seconds=a.prior_seconds, prior_samples=a.prior_samples,
+        seed=a.seed,
     )
 
 

@@ -22,6 +22,9 @@ def generate(
     out_path: str = "generated",
     streaming: bool = False,
     chunk_size: Optional[int] = None,
+    prior_seconds: float = 0.0,
+    prior_samples: int = 1,
+    seed: int = 0,
 ):
     from rave_tpu.export.artifact import ExportedRAVE
 
@@ -32,6 +35,10 @@ def generate(
 
         p = Path(export_model(run=model, streaming=streaming))
     art = ExportedRAVE(str(p))
+    if prior_seconds:
+        return _generate_prior(
+            art, out_path, prior_seconds, prior_samples, seed
+        )
     sr = art.manifest.get("target_sampling_rate", art.manifest["sampling_rate"])
     block = chunk_size or art.block_size
     if streaming and block % art.block_size != 0:
@@ -84,3 +91,30 @@ def generate(
         out_file = out_dir / (Path(f).stem + "_reconstructed.wav")
         wavfile.write(out_file, sr, (y * 32767).astype(np.int16))
         print(f"wrote {out_file}")
+
+
+def _generate_prior(art, out_path, seconds: float, n: int, seed: int):
+    """Unconditional generation: sample latents from the bundled
+    autoregressive prior and decode to audio (the reference's prior
+    surface lives in the nn~ 'prior' method, export.py:543-558)."""
+    import jax
+
+    if not art.has_prior:
+        raise RuntimeError(
+            f"{art.path} was exported without a prior — re-export with "
+            "`rave-tpu export --prior <prior_run_dir>`"
+        )
+    sr = art.manifest.get("target_sampling_rate", art.manifest["sampling_rate"])
+    # latent frame rate = model sr / decimation (the decode method consumes
+    # one latent frame per `decimation` output samples)
+    decim = art.manifest["methods"]["decode"]["in_ratio"]
+    n_frames = max(int(round(seconds * art.manifest["sampling_rate"] / decim)), 1)
+    out_dir = Path(out_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        z = art.sample_prior(n_frames, rng=jax.random.key(seed + i))
+        y = np.asarray(art.decode(z))[0]
+        y = np.clip(y, -1, 1)
+        out_file = out_dir / f"prior_sample_{i}.wav"
+        wavfile.write(out_file, sr, (y * 32767).astype(np.int16))
+        print(f"wrote {out_file} ({y.shape[0] / sr:.2f}s)")

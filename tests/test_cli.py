@@ -138,3 +138,19 @@ def test_cli_full_pipeline(corpus, tmp_path):
     prior_dir = runs / "p_prior"
     assert (prior_dir / "prior_config.json").exists()
     assert any(prior_dir.glob("checkpoints/*")), "prior saved no checkpoint"
+
+    # 7. bundle the prior into a fresh export and generate unconditionally
+    # (the reference's prior surface is nn~'s "prior" method,
+    # reference rave/export.py TraceModel prior bundling)
+    from scipy.io import wavfile
+
+    _cli(["export", "--run", run_dir, "--streaming",
+          "--prior", prior_dir, "--output", tmp_path / "art_prior"])
+    art_prior = next((tmp_path / "art_prior").glob("*.rtpu"))
+    assert json.loads((art_prior / "manifest.json").read_text())["prior"]
+    _cli(["generate", "--model", art_prior, "--out_path", gen,
+          "--prior_seconds", "0.25", "--prior_samples", "2", "--seed", "3"])
+    for i in range(2):
+        sr_p, y_p = wavfile.read(gen / f"prior_sample_{i}.wav")
+        assert sr_p == SR
+        assert y_p.shape[0] >= int(0.25 * SR)
