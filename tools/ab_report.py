@@ -62,10 +62,18 @@ def main():
     p.add_argument("--ema", action="store_true")
     p.add_argument("--label_a", default="A")
     p.add_argument("--label_b", default="B")
+    p.add_argument("--steps", type=int, nargs="*", default=None,
+                   help="restrict the sweep to these checkpoint steps "
+                   "(e.g. on a time budget); default: all common steps")
     args = p.parse_args()
     run_a = sorted(glob.glob(args.a))[-1]
     run_b = sorted(glob.glob(args.b))[-1]
     steps = sorted(set(_ckpt_steps(run_a)) & set(_ckpt_steps(run_b)))
+    if args.steps:
+        missing = set(args.steps) - set(steps)
+        if missing:
+            sys.exit(f"steps not present in both runs: {sorted(missing)}")
+        steps = sorted(args.steps)
     if not steps:
         sys.exit("no common checkpoint steps between the two runs")
 
