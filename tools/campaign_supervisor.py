@@ -50,15 +50,20 @@ RUNS = [
                        "--max_steps", "40000"]),
     ("full_v3", ["--config", "v3",
                  "--override", "train.phase_1_duration=20000",
-                 "--max_steps", "40000"]),
+                 "--max_steps",
+                 os.environ.get("RAVE_TPU_CAMPAIGN_V3_STEPS", "40000")]),
 ]
 
 # Staleness thresholds. Before the first metric lands the run is
 # compiling (full-size v3 can take several minutes per program on the
-# TPU); after that, steps land every ~6 s and even a validation epoch +
-# checkpoint save + audio render finishes well inside five minutes.
-COLD_STALL_S = 2400
-WARM_STALL_S = 420
+# TPU). After that, steps land every ~6 s — but schedule boundaries
+# (quantize activation, the adversarial phase switch) compile a NEW
+# program mid-run, which looks identical to a wedge for 10+ minutes, so
+# the warm threshold must sit above the longest mid-run compile (a real
+# wedge just costs that much longer to catch; checkpoints bound the
+# rework). Both are env-overridable.
+COLD_STALL_S = float(os.environ.get("RAVE_TPU_CAMPAIGN_COLD_STALL", "2400"))
+WARM_STALL_S = float(os.environ.get("RAVE_TPU_CAMPAIGN_WARM_STALL", "1200"))
 MAX_ATTEMPTS = 10
 
 
