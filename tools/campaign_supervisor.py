@@ -46,8 +46,12 @@ RUNS = [
                  "--override", "train.bf16_dis=true",
                  "--max_steps", "40000"]),
     ("full_discrete", ["--config", "discrete",
-                       "--override", "train.phase_1_duration=20000",
-                       "--max_steps", "40000"]),
+                       "--override", "train.phase_1_duration="
+                       + os.environ.get("RAVE_TPU_CAMPAIGN_DISCRETE_PHASE1",
+                                        "20000"),
+                       "--max_steps",
+                       os.environ.get("RAVE_TPU_CAMPAIGN_DISCRETE_STEPS",
+                                      "40000")]),
     ("full_v3", ["--config", "v3",
                  "--override", "train.phase_1_duration="
                  + os.environ.get("RAVE_TPU_CAMPAIGN_V3_PHASE1", "20000"),
